@@ -1,0 +1,106 @@
+"""Translation-Invariant Measurement (TIM) construction.
+
+Capability parity with reference registration.cc:512-551 (``computeTIMs``) and
+the CHAIN formulation of registration.cc:657-680, designed fixed-shape:
+
+  * pair index maps are *static* numpy arrays computed at trace time, so the
+    O(N^2) gather compiles to a single fused XLA op (the reference needed an
+    OpenMP loop with arithmetic-series offsets);
+  * ``compute_tim_norms`` offers a matmul-trick path (``||vi-vj||^2 =
+    ||vi||^2+||vj||^2-2 vi.vj``) that rides the MXU and never materializes
+    the 3xK TIM tensor — the hot path for the scale/TRIM stage at large N;
+  * chain TIMs over a padded clique mask use a cyclic next-index gather.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=64)
+def upper_tri_indices(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Static (i, j) index arrays of the K = n(n-1)/2 upper-triangle pairs.
+
+    Ordered row-major — identical to the reference's segment layout
+    (registration.cc:531: segment for row i starts at i*n - i(i+1)/2).
+    """
+    i, j = np.triu_indices(n, k=1)
+    return i.astype(np.int32), j.astype(np.int32)
+
+
+def compute_tims(v: jnp.ndarray) -> jnp.ndarray:
+    """All pairwise differences v[:, j] - v[:, i] for i < j.
+
+    Args:
+      v: (..., 3, N) points.
+    Returns:
+      (..., 3, K) TIMs with K = N(N-1)/2, in reference pair order.
+    """
+    n = v.shape[-1]
+    i_idx, j_idx = upper_tri_indices(n)
+    return v[..., :, j_idx] - v[..., :, i_idx]
+
+
+def tim_pair_valid(valid: Optional[jnp.ndarray], n: int) -> Optional[jnp.ndarray]:
+    """Pairwise validity mask for padded point sets: pair (i,j) valid iff both are."""
+    if valid is None:
+        return None
+    i_idx, j_idx = upper_tri_indices(n)
+    return valid[..., i_idx] & valid[..., j_idx]
+
+
+def compute_tim_norms(v: jnp.ndarray, use_matmul: bool = False) -> jnp.ndarray:
+    """Norms of all upper-triangle TIMs, (..., K).
+
+    ``use_matmul=True`` computes the full N x N squared-distance matrix with
+    one MXU contraction and gathers the upper triangle — faster at large N,
+    slightly less accurate (catastrophic cancellation at tiny distances), so
+    the accuracy-gated default is the direct gather-subtract path.
+    """
+    n = v.shape[-1]
+    i_idx, j_idx = upper_tri_indices(n)
+    if use_matmul:
+        sq = jnp.sum(v * v, axis=-2)  # (..., N)
+        gram = jnp.einsum("...dn,...dm->...nm", v, v)
+        d2 = sq[..., :, None] + sq[..., None, :] - 2.0 * gram
+        d2 = jnp.maximum(d2, 0.0)
+        return jnp.sqrt(d2[..., i_idx, j_idx])
+    tims = v[..., :, j_idx] - v[..., :, i_idx]
+    return jnp.sqrt(jnp.sum(tims * tims, axis=-2))
+
+
+def chain_tims(
+    v: jnp.ndarray, clique_mask: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cyclic chain TIMs over the selected (clique) points, fixed shape.
+
+    The reference builds TIMs between consecutive clique members with
+    wrap-around (registration.cc:657-680: leaf = next member, root = current,
+    tim = v[leaf] - v[root]). Here the clique is a boolean mask over all N
+    points; for each selected index the "next" selected index (cyclically) is
+    found with a vectorized doubling trick, producing N fixed-shape TIMs of
+    which only the selected rows are valid — unselected rows emit zero
+    vectors, which are inert in the downstream weighted Procrustes solve.
+
+    Args:
+      v: (3, N) points.
+      clique_mask: (N,) bool.
+    Returns:
+      (tims (3, N), tim_valid (N,) bool).
+    """
+    n = clique_mask.shape[-1]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # next_sel[i] = smallest selected j > i, cyclically: pointer-doubling on
+    # "next index" links — log2(N) fully-vectorized jump-over-unselected steps.
+    nxt = (idx + 1) % n
+    steps = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    for _ in range(steps):
+        nxt = jnp.where(clique_mask[nxt], nxt, nxt[nxt])
+    tims = v[..., :, nxt] - v
+    valid = clique_mask & clique_mask[nxt]
+    tims = jnp.where(valid[None, :], tims, jnp.zeros_like(tims))
+    return tims, valid

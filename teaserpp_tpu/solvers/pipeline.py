@@ -1,0 +1,313 @@
+"""Fully-jittable fixed-shape registration pipeline.
+
+This is the TPU-native heart of the framework: the complete decoupled solve
+(reference registration.cc:568-737) as one pure function of fixed-shape
+arrays — scale stage over TIM norms, on-device clique selection, chain-TIM
+GNC rotation, component-wise TLS translation — with all dynamic sizes
+expressed as boolean masks. It jits once per (N, params), vmaps over batches
+of independent registrations, and shards under ``shard_map``.
+
+The host-orchestrated :class:`~teaserpp_tpu.solvers.registration.RobustRegistrationSolver`
+wraps these stages and adds the PMC_EXACT (native C++ branch-and-bound) and
+COMPLETE-graph paths that need host control or dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from teaserpp_tpu.params import (
+    InlierSelectionMode,
+    RobustRegistrationSolverParams,
+    RotationEstimationAlgorithm,
+)
+from teaserpp_tpu.ops.tims import (
+    chain_tims,
+    compute_tim_norms,
+    tim_pair_valid,
+    upper_tri_indices,
+)
+from teaserpp_tpu.solvers.scale import select_scale_inliers, solve_scale_tls
+from teaserpp_tpu.solvers.rotation import (
+    solve_rotation_fgr,
+    solve_rotation_gnc_tls,
+    solve_rotation_quatro,
+)
+from teaserpp_tpu.solvers.translation import solve_translation_tls
+from teaserpp_tpu.clique.graph import adjacency_from_pair_mask
+from teaserpp_tpu.clique.heuristic import heuristic_max_clique
+from teaserpp_tpu.clique.kcore import core_numbers
+
+
+class ScaleStageResult(NamedTuple):
+    scale: jnp.ndarray  # () estimated scale
+    pair_mask: jnp.ndarray  # (K,) bool scale-stage TIM inlier mask
+
+
+class PipelineSolution(NamedTuple):
+    """Solution + introspection masks of the fused pipeline (all fixed shape)."""
+
+    valid: jnp.ndarray  # () bool — False when the clique degenerated (size <= 1)
+    scale: jnp.ndarray  # ()
+    rotation: jnp.ndarray  # (3, 3)
+    translation: jnp.ndarray  # (3,)
+    scale_pair_mask: jnp.ndarray  # (K,) bool TIM inliers from the scale stage
+    clique_mask: jnp.ndarray  # (N,) bool max-clique membership
+    rotation_inlier_mask: jnp.ndarray  # (N,) bool per chain-TIM root index
+    translation_inlier_mask: jnp.ndarray  # (N,) bool over original measurements
+    rotation_cost: jnp.ndarray  # () GNC cost at termination
+    rotation_iterations: jnp.ndarray  # () int
+
+
+def scale_stage(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    params: RobustRegistrationSolverParams,
+    valid: Optional[jnp.ndarray] = None,
+    use_matmul_norms: bool = False,
+) -> ScaleStageResult:
+    """TIM-norm construction + scale estimation / TRIM pruning.
+
+    Reference flow: computeTIMs (registration.cc:599-600) + solveForScale
+    (registration.cc:603). Only TIM *norms* are built here — the O(N^2) TIM
+    vectors themselves are never materialized for the scale stage.
+    """
+    n = src.shape[-1]
+    src_norms = compute_tim_norms(src, use_matmul=use_matmul_norms)
+    dst_norms = compute_tim_norms(dst, use_matmul=use_matmul_norms)
+    pv = tim_pair_valid(valid, n)
+    if params.estimate_scaling:
+        res = solve_scale_tls(
+            src_norms, dst_norms, params.noise_bound, params.cbar2, valid=pv
+        )
+    else:
+        res = select_scale_inliers(
+            src_norms, dst_norms, params.noise_bound, params.cbar2, valid=pv
+        )
+    return ScaleStageResult(scale=res.scale, pair_mask=res.inliers)
+
+
+def device_clique_stage(
+    pair_mask: jnp.ndarray,
+    n: int,
+    params: RobustRegistrationSolverParams,
+    valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """On-device inlier clique selection -> (N,) bool mask.
+
+    Covers NONE / KCORE_HEU / PMC_HEU modes (reference registration.cc:609-654
+    with graph.cc semantics); PMC_EXACT goes through the host facade.
+    """
+    mode = params.resolved_inlier_selection_mode()
+    if mode == InlierSelectionMode.NONE:
+        mask = jnp.ones((n,), bool)
+        if valid is not None:
+            mask = mask & valid
+        return mask
+
+    adj = adjacency_from_pair_mask(pair_mask, n)
+    if valid is not None:
+        adj = adj & valid[None, :] & valid[:, None]
+
+    if mode == InlierSelectionMode.KCORE_HEU:
+        core = core_numbers(adj, valid)
+        max_core = jnp.max(core)
+        nv = (
+            jnp.asarray(n, jnp.float32)
+            if valid is None
+            else jnp.sum(valid).astype(jnp.float32)
+        )
+        use_kcore = jnp.logical_and(
+            params.kcore_heuristic_threshold != 1,
+            max_core.astype(jnp.float32)
+            > params.kcore_heuristic_threshold * nv,
+        )
+        kcore_mask = core >= max_core
+        heu = heuristic_max_clique(
+            adj, valid=valid, num_seeds=params.max_clique_heuristic_seeds
+        )
+        mask = jnp.where(use_kcore, kcore_mask, heu.mask)
+    else:  # PMC_HEU -> on-device greedy heuristic
+        heu = heuristic_max_clique(
+            adj, valid=valid, num_seeds=params.max_clique_heuristic_seeds
+        )
+        mask = heu.mask
+    if valid is not None:
+        mask = mask & valid
+    return mask
+
+
+def rotation_translation_stage(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    scale: jnp.ndarray,
+    clique_mask: jnp.ndarray,
+    params: RobustRegistrationSolverParams,
+) -> PipelineSolution:
+    """Chain-TIM GNC rotation + component-wise TLS translation.
+
+    Reference flow: chain TIM rebuild (registration.cc:657-680), de-scaling
+    and rotation noise-bound update (registration.cc:697-704), rotation solve
+    (registration.cc:708), translation solve on the clique points
+    (registration.cc:717-727). CHAIN formulation only — COMPLETE needs
+    dynamic shapes and lives in the host orchestrator.
+    """
+    dtype = src.dtype
+    src_ctims, tim_valid = chain_tims(src, clique_mask)
+    dst_ctims, _ = chain_tims(dst, clique_mask)
+
+    inv_s = 1.0 / scale
+    dst_ctims = dst_ctims * inv_s
+    nb_rot = params.noise_bound * 2.0 * inv_s
+
+    alg = params.rotation_estimation_algorithm
+    rot_kw = dict(
+        gnc_factor=params.rotation_gnc_factor,
+        max_iterations=params.rotation_max_iterations,
+        cost_threshold=params.rotation_cost_threshold,
+        valid=tim_valid,
+    )
+    # noise bound is a traced value (depends on estimated scale) — the
+    # rotation solvers accept array noise bounds.
+    if alg == RotationEstimationAlgorithm.GNC_TLS:
+        rot = solve_rotation_gnc_tls(src_ctims, dst_ctims, nb_rot, **rot_kw)
+    elif alg == RotationEstimationAlgorithm.FGR:
+        rot = solve_rotation_fgr(src_ctims, dst_ctims, nb_rot, **rot_kw)
+    else:
+        rot = solve_rotation_quatro(src_ctims, dst_ctims, nb_rot, **rot_kw)
+
+    # Translation on the clique points, aligned by s * R (registration.cc:724-727).
+    aligned_src = scale * (rot.rotation @ src)
+    trans = solve_translation_tls(
+        aligned_src, dst, params.noise_bound, params.cbar2, valid=clique_mask
+    )
+
+    clique_size = jnp.sum(clique_mask)
+    return PipelineSolution(
+        valid=clique_size > 1,  # reference registration.cc:643-647
+        scale=jnp.asarray(scale, dtype),
+        rotation=rot.rotation,
+        translation=trans.translation,
+        scale_pair_mask=jnp.zeros((0,), bool),  # filled by register_pair
+        clique_mask=clique_mask,
+        rotation_inlier_mask=rot.inliers,
+        translation_inlier_mask=trans.inliers,
+        rotation_cost=rot.cost,
+        rotation_iterations=rot.iterations,
+    )
+
+
+def rotation_translation_complete(
+    src_sel: jnp.ndarray,
+    dst_sel: jnp.ndarray,
+    point_valid: jnp.ndarray,
+    scale: jnp.ndarray,
+    params: RobustRegistrationSolverParams,
+) -> PipelineSolution:
+    """COMPLETE-graph rotation stage on (possibly padded) clique points.
+
+    Reference registration.cc:681-694: rebuild the full M(M-1)/2 TIM set over
+    the clique points and hand it to the GNC rotation solver. Inputs are the
+    gathered clique points padded to a static size M with ``point_valid``.
+    """
+    m = src_sel.shape[-1]
+    i_idx, j_idx = upper_tri_indices(m)
+    src_tims = src_sel[..., :, j_idx] - src_sel[..., :, i_idx]
+    dst_tims = dst_sel[..., :, j_idx] - dst_sel[..., :, i_idx]
+    pv = tim_pair_valid(point_valid, m)
+
+    inv_s = 1.0 / scale
+    dst_tims = dst_tims * inv_s
+    nb_rot = params.noise_bound * 2.0 * inv_s
+
+    alg = params.rotation_estimation_algorithm
+    rot_kw = dict(
+        gnc_factor=params.rotation_gnc_factor,
+        max_iterations=params.rotation_max_iterations,
+        cost_threshold=params.rotation_cost_threshold,
+        valid=pv,
+    )
+    if alg == RotationEstimationAlgorithm.GNC_TLS:
+        rot = solve_rotation_gnc_tls(src_tims, dst_tims, nb_rot, **rot_kw)
+    elif alg == RotationEstimationAlgorithm.FGR:
+        rot = solve_rotation_fgr(src_tims, dst_tims, nb_rot, **rot_kw)
+    else:
+        rot = solve_rotation_quatro(src_tims, dst_tims, nb_rot, **rot_kw)
+
+    aligned_src = scale * (rot.rotation @ src_sel)
+    trans = solve_translation_tls(
+        aligned_src, dst_sel, params.noise_bound, params.cbar2, valid=point_valid
+    )
+
+    clique_size = jnp.sum(point_valid)
+    return PipelineSolution(
+        valid=clique_size > 1,
+        scale=jnp.asarray(scale, src_sel.dtype),
+        rotation=rot.rotation,
+        translation=trans.translation,
+        scale_pair_mask=jnp.zeros((0,), bool),
+        clique_mask=point_valid,
+        rotation_inlier_mask=rot.inliers,  # (M(M-1)/2,) over clique pair order
+        translation_inlier_mask=trans.inliers,  # (M,) over clique point order
+        rotation_cost=rot.cost,
+        rotation_iterations=rot.iterations,
+    )
+
+
+def register_pair(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    params: RobustRegistrationSolverParams,
+    valid: Optional[jnp.ndarray] = None,
+    use_matmul_norms: bool = False,
+) -> PipelineSolution:
+    """Full fixed-shape solve: scale -> device clique -> rotation -> translation.
+
+    Jittable end to end for NONE / KCORE_HEU / PMC_HEU inlier selection with
+    the CHAIN rotation graph. ``valid`` masks padded correspondences.
+    """
+    n = src.shape[-1]
+    sc = scale_stage(src, dst, params, valid=valid, use_matmul_norms=use_matmul_norms)
+    clique_mask = device_clique_stage(sc.pair_mask, n, params, valid=valid)
+    sol = rotation_translation_stage(src, dst, sc.scale, clique_mask, params)
+    return sol._replace(scale_pair_mask=sc.pair_mask)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "use_matmul_norms")
+)
+def register_pair_jit(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    params: RobustRegistrationSolverParams,
+    valid: Optional[jnp.ndarray] = None,
+    use_matmul_norms: bool = False,
+) -> PipelineSolution:
+    return register_pair(
+        src, dst, params, valid=valid, use_matmul_norms=use_matmul_norms
+    )
+
+
+def register_batch(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    params: RobustRegistrationSolverParams,
+    valid: Optional[jnp.ndarray] = None,
+    use_matmul_norms: bool = False,
+) -> PipelineSolution:
+    """vmapped batch of independent registrations, (B, 3, N) -> batched solution.
+
+    The outermost organizing principle of the framework (SLAM scan-to-map
+    style): the reference solves one problem per process; here a batch is one
+    device program.
+    """
+    fn = lambda s, d, v: register_pair(
+        s, d, params, valid=v, use_matmul_norms=use_matmul_norms
+    )
+    if valid is None:
+        return jax.vmap(lambda s, d: fn(s, d, None))(src, dst)
+    return jax.vmap(fn)(src, dst, valid)
