@@ -1,0 +1,117 @@
+"""Clique subsystem tests (reference graph-test.cc analog + native-solver checks)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from teaserpp_tpu.clique import (
+    Graph,
+    MaxCliqueSolver,
+    core_numbers,
+    heuristic_max_clique,
+    exact_max_clique,
+)
+from teaserpp_tpu.clique.exact import native_core_numbers
+from teaserpp_tpu.params import CliqueSolverMode, MaxCliqueSolverParams
+
+
+def _planted_clique_graph(rng, n=60, k=15, p=0.1):
+    """Random G(n, p) with a planted clique of size k on the first k vertices."""
+    adj = rng.uniform(size=(n, n)) < p
+    adj = np.triu(adj, 1)
+    adj = adj | adj.T
+    adj[:k, :k] = True
+    np.fill_diagonal(adj, False)
+    return adj
+
+
+def test_graph_container():
+    g = Graph.from_edges(5, [(0, 1), (1, 2), (0, 2), (3, 4)])
+    assert g.numVertices() == 5
+    assert g.numEdges() == 4
+    assert g.hasEdge(0, 1) and g.hasEdge(1, 0)
+    assert not g.hasEdge(0, 3)
+    g.removeEdge(3, 4)
+    assert g.numEdges() == 3
+    assert g.getEdges(1) == [0, 2]
+    adj = g.getAdjMatrix()
+    assert adj.shape == (5, 5) and adj[0, 2]
+
+
+def test_core_numbers_triangle_plus_tail():
+    # triangle 0-1-2 with a pendant vertex 3 attached to 0
+    g = Graph.from_edges(4, [(0, 1), (1, 2), (0, 2), (0, 3)])
+    core = np.asarray(core_numbers(jnp.asarray(g.getAdjMatrix())))
+    assert core.tolist() == [2, 2, 2, 1]
+
+
+def test_core_numbers_match_native(rng):
+    adj = _planted_clique_graph(rng, n=80, k=12, p=0.15)
+    dev = np.asarray(core_numbers(jnp.asarray(adj)))
+    nat = native_core_numbers(adj)
+    assert np.array_equal(dev, nat)
+
+
+def test_heuristic_finds_planted_clique(rng):
+    adj = _planted_clique_graph(rng, n=100, k=20, p=0.05)
+    res = heuristic_max_clique(jnp.asarray(adj), num_seeds=32)
+    mask = np.asarray(res.mask)
+    assert int(res.size) >= 20
+    assert mask[:20].all()
+
+
+def test_exact_max_clique_small_known():
+    # two overlapping triangles + K4 on {4,5,6,7}
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (1, 3)]
+    edges += [(a, b) for a in range(4, 8) for b in range(a + 1, 8)]
+    g = Graph.from_edges(8, edges)
+    clique, timed_out = exact_max_clique(g.getAdjMatrix())
+    assert not timed_out
+    assert clique == [4, 5, 6, 7]
+
+
+def test_exact_matches_planted(rng):
+    adj = _planted_clique_graph(rng, n=70, k=16, p=0.1)
+    clique, timed_out = exact_max_clique(adj)
+    assert not timed_out
+    assert len(clique) >= 16
+    # verify it is actually a clique
+    for i, u in enumerate(clique):
+        for v in clique[i + 1:]:
+            assert adj[u, v]
+
+
+def test_exact_beats_or_equals_heuristic(rng):
+    for trial in range(3):
+        adj = _planted_clique_graph(rng, n=50, k=8, p=0.3)
+        exact, _ = exact_max_clique(adj)
+        heu = heuristic_max_clique(jnp.asarray(adj), num_seeds=32)
+        assert len(exact) >= int(heu.size)
+
+
+def test_max_clique_solver_modes(rng):
+    adj = _planted_clique_graph(rng, n=60, k=14, p=0.08)
+    g = Graph(adj)
+    exact = MaxCliqueSolver(
+        MaxCliqueSolverParams(solver_mode=CliqueSolverMode.PMC_EXACT)
+    ).findMaxClique(g)
+    heu = MaxCliqueSolver(
+        MaxCliqueSolverParams(solver_mode=CliqueSolverMode.PMC_HEU)
+    ).findMaxClique(g)
+    kcore = MaxCliqueSolver(
+        MaxCliqueSolverParams(
+            solver_mode=CliqueSolverMode.KCORE_HEU, kcore_heuristic_threshold=0.05
+        )
+    ).findMaxClique(g)
+    assert len(exact) >= 14
+    assert len(heu) >= 14
+    assert set(exact) >= set(range(14)) or len(exact) >= 14
+    # k-core heuristic returns a superset containing the planted clique
+    assert set(kcore) >= set(range(14))
+
+
+def test_empty_and_trivial_graphs():
+    g = Graph()
+    assert MaxCliqueSolver().findMaxClique(g) == []
+    g2 = Graph.from_edges(3, [])  # no edges: best clique is a single vertex
+    res = MaxCliqueSolver().findMaxClique(g2)
+    assert len(res) <= 1
