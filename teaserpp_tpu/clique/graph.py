@@ -118,38 +118,30 @@ class MaxCliqueSolver:
             return []
         mode = self.params.solver_mode
 
+        if mode == CliqueSolverMode.PMC_EXACT:
+            # The native branch-and-bound computes its own k-core bounds and
+            # greedy lower bound internally (the reference runs PMC's
+            # compute_cores + pmc_heu first, graph.cc:58-91; ours fuses them).
+            clique, _timed_out = _exact.exact_max_clique(
+                adj, time_limit=self.params.time_limit
+            )
+            return sorted(clique)
+
         adj_dev = jnp.asarray(adj)
-        core = np.asarray(core_numbers(adj_dev))
-        max_core = int(core.max()) if n else 0
+        if mode == CliqueSolverMode.KCORE_HEU:
+            core = np.asarray(core_numbers(adj_dev))
+            max_core = int(core.max()) if n else 0
+            # KCORE_HEU short-circuit: if the max core is a large enough
+            # fraction of the vertex count, return the top k-core
+            # (reference graph.cc:66-81).
+            if (
+                self.params.kcore_heuristic_threshold != 1
+                and max_core > self.params.kcore_heuristic_threshold * n
+            ):
+                return [int(v) for v in np.nonzero(core >= max_core)[0]]
 
-        # KCORE_HEU short-circuit: if the max core is a large enough fraction
-        # of the vertex count, return the top k-core (reference graph.cc:66-81).
-        if (
-            mode == CliqueSolverMode.KCORE_HEU
-            and self.params.kcore_heuristic_threshold != 1
-            and max_core > self.params.kcore_heuristic_threshold * n
-        ):
-            return [int(v) for v in np.nonzero(core >= max_core)[0]]
-
-        ub = max_core + 1
-
-        # Heuristic lower bound / heuristic answer (reference graph.cc:89-91).
+        # Heuristic answer (reference graph.cc:89-91).
         heu = heuristic_max_clique(
             adj_dev, num_seeds=self.params.heuristic_num_seeds
         )
-        heu_clique = [int(v) for v in np.nonzero(np.asarray(heu.mask))[0]]
-        lb = len(heu_clique)
-
-        if lb == 0:
-            return []
-        # lb == ub means the heuristic clique is provably maximum
-        # (reference graph.cc:100-102).
-        if lb == ub or mode != CliqueSolverMode.PMC_EXACT:
-            return heu_clique
-
-        clique, _timed_out = _exact.exact_max_clique(
-            adj, time_limit=self.params.time_limit
-        )
-        if len(clique) < lb:
-            clique = heu_clique
-        return sorted(clique)
+        return [int(v) for v in np.nonzero(np.asarray(heu.mask))[0]]
