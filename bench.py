@@ -1,0 +1,102 @@
+"""Benchmark: batched bunny registrations per second per chip.
+
+The reference's headline case (README.md:40-77): Stanford bunny, 1889
+correspondences, ~90% outlier injections, known scale, max-clique inlier
+selection + GNC-TLS, solved in 0.786677 s single-threaded C++ (BASELINE.md).
+Here the whole pipeline runs on one TPU chip as a vmapped batch with the
+on-device greedy-clique mode; throughput is batch / wall time.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": regs_per_sec, "unit": "registrations/s",
+   "vs_baseline": value / (1 / 0.786677)}
+
+Accuracy is gated before reporting: every problem in the batch must match
+the reference error bounds (<0.1 deg rotation, <0.01 m translation).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SOLVE_SECONDS = 0.786677  # reference bunny e2e wall time (BASELINE.md)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "examples")
+    from bunny_registration import make_bunny_problem, T
+
+    from teaserpp_tpu.params import (
+        InlierSelectionMode,
+        RobustRegistrationSolverParams,
+    )
+    from teaserpp_tpu.parallel import solve_batch
+    from teaserpp_tpu.utils.metrics import rotation_error_deg, translation_error
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    repeats = 5
+
+    srcs, dsts = [], []
+    for seed in range(batch):
+        src, tgt, _ = make_bunny_problem(seed=seed)
+        srcs.append(src)
+        dsts.append(tgt)
+    src_b = jnp.asarray(np.stack(srcs), jnp.float32)
+    dst_b = jnp.asarray(np.stack(dsts), jnp.float32)
+
+    params = RobustRegistrationSolverParams(
+        noise_bound=0.001,
+        cbar2=1.0,
+        estimate_scaling=False,
+        rotation_cost_threshold=0.005,
+        inlier_selection_mode=InlierSelectionMode.PMC_HEU,
+    )
+
+    # Warmup / compile.
+    sol = jax.block_until_ready(solve_batch(src_b, dst_b, params))
+
+    # Accuracy gate on the warmup result.
+    r_true = T[:3, :3]
+    t_true = T[:3, 3]
+    rot_errs = np.array(
+        [rotation_error_deg(np.asarray(sol.rotation[i]), r_true) for i in range(batch)]
+    )
+    t_errs = np.array(
+        [
+            translation_error(np.asarray(sol.translation[i]), t_true)
+            for i in range(batch)
+        ]
+    )
+    ok = bool((rot_errs < 0.1).all() and (t_errs < 0.01).all())
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(solve_batch(src_b, dst_b, params))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    regs_per_sec = batch / best
+
+    print(
+        json.dumps(
+            {
+                "metric": "bunny1889_90pct_outliers_registrations_per_sec_per_chip",
+                "value": round(regs_per_sec, 3),
+                "unit": "registrations/s",
+                "vs_baseline": round(regs_per_sec / (1.0 / BASELINE_SOLVE_SECONDS), 2),
+                "accuracy_ok": ok,
+                "rot_err_deg_max": float(rot_errs.max()),
+                "trans_err_m_max": float(t_errs.max()),
+                "batch": batch,
+                "seconds_per_batch": round(best, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Sharded single-problem registration: the O(N^2) consistency structure
+distributed over a device mesh.
+
+This is the framework's analog of context/model parallelism (SURVEY.md §2.5,
+§5): for a 100K-correspondence problem the N x N pair grid (TRIM tests,
+adjacency, k-core degrees) no longer fits one chip, so its *row* dimension is
+sharded over the mesh's ``pairs`` axis. Points (3 x N) are tiny and stay
+replicated; XLA turns the row-blocked distance einsum into local matmuls and
+inserts psum/all-reduce collectives for the global reductions (degree sums,
+min-degree, argmax) exactly where the sharding annotations demand — the
+scaling-book recipe, no hand-written collectives needed.
+
+Pipeline for a huge known-scale problem:
+  1. dense TRIM adjacency, rows sharded over ``pairs``       [O(N^2) compute]
+  2. k-core peeling on the sharded adjacency                 [matvec rounds]
+  3. top-K core vertices -> gather a small dense subgraph    [all-gather]
+  4. greedy clique on the replicated subgraph
+  5. chain-TIM GNC rotation + TLS translation over the clique mask
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from teaserpp_tpu.params import RobustRegistrationSolverParams
+from teaserpp_tpu.solvers.pipeline import (
+    PipelineSolution,
+    rotation_translation_stage,
+)
+from teaserpp_tpu.clique.kcore import core_numbers
+from teaserpp_tpu.clique.heuristic import heuristic_max_clique
+
+
+def trim_adjacency_dense(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    noise_bound: float,
+    cbar2: float = 1.0,
+    valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """(N, N) bool TRIM consistency adjacency via the MXU distance trick.
+
+    adj[i, j] = | ||src_i - src_j|| - ||dst_i - dst_j|| | <= 2 nb sqrt(cbar2),
+    i != j. Row-shardable: with the output constrained to P('pairs', None),
+    XLA computes each row block locally from the replicated point sets.
+    """
+    beta = 2.0 * noise_bound * math.sqrt(cbar2)
+
+    def pdist(v):
+        sq = jnp.sum(v * v, axis=0)
+        gram = v.T @ v
+        d2 = sq[:, None] + sq[None, :] - 2.0 * gram
+        return jnp.sqrt(jnp.maximum(d2, 0.0))
+
+    ds = pdist(src)
+    dd = pdist(dst)
+    n = src.shape[-1]
+    adj = jnp.abs(ds - dd) <= beta
+    adj = adj & ~jnp.eye(n, dtype=bool)
+    if valid is not None:
+        adj = adj & valid[None, :] & valid[:, None]
+    return adj
+
+
+class LargeSolveResult(NamedTuple):
+    solution: PipelineSolution
+    max_core: jnp.ndarray
+    clique_size: jnp.ndarray
+
+
+def _large_registration_impl(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    params: RobustRegistrationSolverParams,
+    subgraph_size: int,
+    pairs_sharding,
+) -> LargeSolveResult:
+    n = src.shape[-1]
+    adj = trim_adjacency_dense(src, dst, params.noise_bound, params.cbar2)
+    if pairs_sharding is not None:
+        adj = jax.lax.with_sharding_constraint(adj, pairs_sharding)
+
+    core = core_numbers(adj)  # sharded matvec rounds + all-reduce min/max
+    max_core = jnp.max(core)
+
+    # Reduce to the densest subgraph: top-`subgraph_size` vertices by core
+    # number always contain the maximum clique when subgraph_size > max_core
+    # (every max-clique vertex has core >= clique_size - 1 >= all vertices
+    # outside the top cores at that threshold). We take a generous static cap.
+    m = min(subgraph_size, n)
+    _, top_idx = jax.lax.top_k(core, m)
+    sub_adj = adj[top_idx[:, None], top_idx[None, :]]  # gathers -> replicated
+    heu = heuristic_max_clique(sub_adj, num_seeds=params.max_clique_heuristic_seeds)
+
+    clique_mask = jnp.zeros((n,), bool).at[top_idx].set(heu.mask)
+    scale = jnp.asarray(1.0, src.dtype)
+    sol = rotation_translation_stage(src, dst, scale, clique_mask, params)
+    return LargeSolveResult(
+        solution=sol, max_core=max_core, clique_size=jnp.sum(clique_mask)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "subgraph_size", "pairs_sharding")
+)
+def _large_registration_jit(src, dst, params, subgraph_size, pairs_sharding):
+    return _large_registration_impl(src, dst, params, subgraph_size, pairs_sharding)
+
+
+def solve_large_sharded(
+    src,
+    dst,
+    params: RobustRegistrationSolverParams,
+    mesh: Mesh,
+    pairs_axis: str = "pairs",
+    subgraph_size: int = 2048,
+) -> LargeSolveResult:
+    """Known-scale registration with the O(N^2) structure sharded over ``mesh``.
+
+    ``src``/``dst`` are (3, N) with N typically 10K-100K; the adjacency and
+    k-core stages run row-sharded over the ``pairs_axis`` devices.
+    """
+    sharding = NamedSharding(mesh, P(pairs_axis, None))
+    replicated = NamedSharding(mesh, P())
+    src = jax.device_put(jnp.asarray(src), replicated)
+    dst = jax.device_put(jnp.asarray(dst), replicated)
+    return _large_registration_jit(src, dst, params, subgraph_size, sharding)
