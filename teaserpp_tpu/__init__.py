@@ -31,6 +31,12 @@ from teaserpp_tpu.solvers.registration import (
     RegistrationSolution,
     RobustRegistrationSolver,
 )
+from teaserpp_tpu.certification import (
+    CertificationResult,
+    DRSCertifier,
+    DRSCertifierParams,
+    EigSolverType,
+)
 
 # Reference-compatible aliases (mirrors python/teaserpp_python/__init__.py:17-20
 # in the reference, which re-exports the enums at module scope).
@@ -52,4 +58,8 @@ __all__ = [
     "ROTATION_ESTIMATION_ALGORITHM",
     "INLIER_SELECTION_MODE",
     "INLIER_GRAPH_FORMULATION",
+    "DRSCertifier",
+    "DRSCertifierParams",
+    "CertificationResult",
+    "EigSolverType",
 ]

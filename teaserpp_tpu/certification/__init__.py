@@ -2,3 +2,32 @@
 
 TPU-native replacement for reference certification.{h,cc}.
 """
+
+from teaserpp_tpu.certification.drs import (
+    DRSCertifier,
+    CertificationResult,
+    quat_from_rotation,
+    get_q_cost,
+    get_omega_1,
+    get_block_diag_omega,
+    get_lambda_guess,
+    apply_inverse_map,
+    optimal_dual_projection,
+    suboptimality_gap,
+)
+from teaserpp_tpu.params import DRSCertifierParams, EigSolverType
+
+__all__ = [
+    "DRSCertifier",
+    "CertificationResult",
+    "DRSCertifierParams",
+    "EigSolverType",
+    "quat_from_rotation",
+    "get_q_cost",
+    "get_omega_1",
+    "get_block_diag_omega",
+    "get_lambda_guess",
+    "apply_inverse_map",
+    "optimal_dual_projection",
+    "suboptimality_gap",
+]

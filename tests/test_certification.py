@@ -1,0 +1,200 @@
+"""DRS certifier tests against the reference's MATLAB golden data.
+
+Mirrors reference certification-test.cc: every internal quantity (omega,
+block-diag omega, Q_cost, lambda guess, A_inv action, first-iteration dual
+projection, suboptimality trajectory) is compared against the CSVs in
+test/teaser/data/certification_small_instances at 1e-7.
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from teaserpp_tpu.certification.drs import (
+    DRSCertifier,
+    apply_inverse_map,
+    get_block_diag_omega,
+    get_lambda_guess,
+    get_omega_1,
+    get_q_cost,
+    optimal_dual_projection,
+    quat_from_rotation,
+    suboptimality_gap,
+    _certify_core,
+)
+from teaserpp_tpu.params import DRSCertifierParams
+
+from conftest import REFERENCE_DATA, make_registration_problem
+
+CASES_DIR = os.path.join(REFERENCE_DATA, "certification_small_instances")
+TOL = 1e-7  # reference certification-test.cc:29
+
+
+def _load_case(case: str):
+    d = os.path.join(CASES_DIR, case)
+
+    def csv(name):
+        return np.loadtxt(os.path.join(d, name), delimiter=",", ndmin=2)
+
+    params = {}
+    with open(os.path.join(d, "parameters.txt")) as f:
+        for line in f:
+            k, v = line.strip().split(":")
+            params[k.strip()] = float(v)
+    return {
+        "v1": csv("v1.csv"),
+        "v2": csv("v2.csv"),
+        "R_est": csv("R_est.csv"),
+        "q_est": csv("q_est.csv").reshape(-1),
+        "theta_est": csv("theta_est.csv").reshape(-1),
+        "omega": csv("omega.csv"),
+        "block_diag_omega": csv("block_diag_omega.csv"),
+        "Q_cost": csv("Q_cost.csv"),
+        "lambda_bar_init": csv("lambda_bar_init.csv"),
+        "A_inv": csv("A_inv.csv"),
+        "W_1st_iter": csv("W_1st_iter.csv"),
+        "W_dual_1st_iter": csv("W_dual_1st_iter.csv"),
+        "suboptimality_traj": csv("suboptimality_traj.csv").reshape(-1),
+        "suboptimality_1st_iter": float(csv("suboptimality_1st_iter.csv")[0, 0]),
+        "noise_bound": params["noise_bound"],
+        "cbar2": params["cbar2"],
+    }
+
+
+requires_ref_data = pytest.mark.skipif(
+    not os.path.isdir(CASES_DIR), reason="reference golden data not mounted"
+)
+CASES = sorted(os.listdir(CASES_DIR)) if os.path.isdir(CASES_DIR) else []
+
+
+@requires_ref_data
+@pytest.mark.parametrize("case", CASES)
+def test_quaternion_and_omega(case):
+    data = _load_case(case)
+    q = np.asarray(quat_from_rotation(jnp.asarray(data["R_est"])))
+    q_ref = data["q_est"]
+    if np.dot(q, q_ref) < 0:
+        q = -q  # sign-invariant
+    assert np.abs(q - q_ref).max() < 1e-6
+    om = np.asarray(get_omega_1(jnp.asarray(q_ref)))
+    assert np.abs(om - data["omega"]).max() < TOL
+    bdo = np.asarray(
+        get_block_diag_omega(data["block_diag_omega"].shape[0], jnp.asarray(q_ref))
+    )
+    assert np.abs(bdo - data["block_diag_omega"]).max() < TOL
+
+
+@requires_ref_data
+@pytest.mark.parametrize("case", CASES)
+def test_q_cost_golden(case):
+    data = _load_case(case)
+    q = np.asarray(
+        get_q_cost(
+            jnp.asarray(data["v1"]),
+            jnp.asarray(data["v2"]),
+            data["noise_bound"],
+            data["cbar2"],
+        )
+    )
+    assert np.abs(q - data["Q_cost"]).max() < TOL
+
+
+@requires_ref_data
+@pytest.mark.parametrize("case", CASES)
+def test_lambda_guess_golden(case):
+    data = _load_case(case)
+    lam = np.asarray(
+        get_lambda_guess(
+            jnp.asarray(data["R_est"]),
+            jnp.asarray(data["theta_est"]),
+            jnp.asarray(data["v1"]),
+            jnp.asarray(data["v2"]),
+            data["noise_bound"],
+            data["cbar2"],
+        )
+    )
+    assert np.abs(lam - data["lambda_bar_init"]).max() < TOL
+
+
+@requires_ref_data
+@pytest.mark.parametrize("case", CASES)
+def test_inverse_map_action_matches_golden_a_inv(case):
+    """Our closed-form operator must equal multiplication by the golden A_inv."""
+    data = _load_case(case)
+    theta_prepended = np.concatenate([[1.0], data["theta_est"]])
+    n1 = theta_prepended.shape[0]
+    i_idx, j_idx = np.triu_indices(n1, k=1)
+    k = len(i_idx)
+    rng = np.random.default_rng(0)
+    b = rng.normal(size=(k, 3))
+    expected = data["A_inv"] @ b
+    out = np.asarray(
+        apply_inverse_map(
+            jnp.asarray(theta_prepended),
+            jnp.asarray(b),
+            jnp.asarray(i_idx),
+            jnp.asarray(j_idx),
+        )
+    )
+    assert np.abs(out - expected).max() < TOL
+
+
+@requires_ref_data
+@pytest.mark.parametrize("case", CASES)
+def test_dual_projection_golden(case):
+    data = _load_case(case)
+    theta_prepended = np.concatenate([[1.0], data["theta_est"]])
+    n1 = theta_prepended.shape[0]
+    i_idx, j_idx = np.triu_indices(n1, k=1)
+    wd = np.asarray(
+        optimal_dual_projection(
+            jnp.asarray(data["W_1st_iter"]),
+            jnp.asarray(theta_prepended),
+            jnp.asarray(i_idx),
+            jnp.asarray(j_idx),
+        )
+    )
+    assert np.abs(wd - data["W_dual_1st_iter"]).max() < TOL
+
+
+@requires_ref_data
+@pytest.mark.parametrize("case", CASES)
+def test_full_certification_trajectory(case):
+    """End-to-end DRS: per-iteration suboptimality must match at 1e-7
+    (reference certification-test.cc:109-129)."""
+    data = _load_case(case)
+    params = DRSCertifierParams(
+        noise_bound=data["noise_bound"], cbar2=data["cbar2"]
+    )
+    certifier = DRSCertifier(params)
+    result = certifier.certify(
+        data["R_est"], data["v1"], data["v2"], data["theta_est"]
+    )
+    ref_traj = data["suboptimality_traj"]
+    assert len(result.suboptimality_traj) == len(ref_traj)
+    assert np.abs(np.asarray(result.suboptimality_traj) - ref_traj).max() < TOL
+    assert result.is_optimal
+    assert abs(result.best_suboptimality - ref_traj.min()) < TOL
+
+
+def test_random_certification_optimal(rng):
+    """Random clean problems must certify as optimal
+    (reference certification-test.cc:530-644 analog, smaller N)."""
+    from teaserpp_tpu.ops import compute_tims
+    from teaserpp_tpu.solvers import solve_rotation_gnc_tls
+
+    src, dst, s, r, t, inlier_mask = make_registration_problem(
+        rng, n=20, outlier_ratio=0.25, noise=0.01, translation_scale=0.0
+    )
+    src_tims = np.asarray(compute_tims(jnp.asarray(src)))
+    dst_tims = np.asarray(compute_tims(jnp.asarray(dst)))
+    nb = 0.06
+    rot = solve_rotation_gnc_tls(
+        jnp.asarray(src_tims), jnp.asarray(dst_tims), nb
+    )
+    theta = np.where(np.asarray(rot.inliers), 1.0, -1.0)
+    certifier = DRSCertifier(DRSCertifierParams(noise_bound=nb))
+    result = certifier.certify(np.asarray(rot.rotation), src_tims, dst_tims, theta)
+    assert result.is_optimal
