@@ -76,7 +76,11 @@ def main():
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(solve_batch(src_b, dst_b, params))
+        out = solve_batch(src_b, dst_b, params)
+        # fetch a scalar to host: forces the full pipeline through any async
+        # dispatch/relay layer (block_until_ready alone can be optimistic
+        # through the tunneled-TPU transport)
+        float(np.asarray(jnp.sum(out.rotation)))
         times.append(time.perf_counter() - t0)
     best = min(times)
     regs_per_sec = batch / best

@@ -1,0 +1,203 @@
+"""Fast Point Feature Histograms (33-bin FPFH), fully vectorized.
+
+TPU-native replacement for the reference's pcl::FPFHEstimationOMP usage
+(fpfh.cc:36-40), reproducing PCL's algorithm semantics exactly so descriptors
+match the reference pipeline (validated against the PCL-generated
+bunny_fpfh.csv golden data):
+
+  * pair features (f1, f2, f3) per PCL ``computePairFeatures`` including the
+    source/target swap rule |angle1| < |angle2| and the f3 = -angle2 sign
+    in the swapped branch;
+  * SPFH: 3 x 11-bin histograms per point, increment 100 / (k - 1);
+  * FPFH: neighbor SPFHs weighted by inverse *squared* distance (PCL uses
+    the kd-tree's squared distances), self excluded, each 11-bin block
+    normalized to sum 100.
+
+Instead of kd-trees and ragged neighbor lists, neighborhoods are dense
+(B, N) row blocks: each pass is matmul-shaped masked arithmetic, chunked
+over query rows so 100K-point clouds stream through fixed-size device
+kernels (the same blocking a Pallas kernel would use; XLA fuses each chunk).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from teaserpp_tpu.features.normals import estimate_normals
+from teaserpp_tpu.ops.procrustes import jacobi_eigh_small
+
+_NR_BINS = 11
+
+
+class FPFHResult(NamedTuple):
+    descriptors: jnp.ndarray  # (N, 33)
+    normals: jnp.ndarray  # (N, 3)
+
+
+def _pair_features_block(
+    chunk_pts, chunk_normals, pts, normals, mask
+):
+    """f1/f2/f3 bins for every (chunk point p, cloud point q) under ``mask``."""
+    dtype = pts.dtype
+    diff = pts[None, :, :] - chunk_pts[:, None, :]  # (B, N, 3): q - p
+    dist2 = jnp.sum(diff * diff, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(dist2, 0.0))
+    ok = mask & (dist > 0)
+    safe_dist = jnp.where(dist > 0, dist, jnp.ones_like(dist))
+
+    n_p = chunk_normals[:, None, :]
+    n_q = normals[None, :, :]
+    angle1 = jnp.sum(n_p * diff, axis=-1) / safe_dist
+    angle2 = jnp.sum(n_q * diff, axis=-1) / safe_dist
+    # PCL swaps roles when acos|angle1| > acos|angle2|, i.e. |angle1| < |angle2|
+    noswap = jnp.abs(angle1) >= jnp.abs(angle2)
+
+    shape = diff.shape
+    ns = jnp.where(noswap[..., None], jnp.broadcast_to(n_p, shape),
+                   jnp.broadcast_to(n_q, shape))
+    nt = jnp.where(noswap[..., None], jnp.broadcast_to(n_q, shape),
+                   jnp.broadcast_to(n_p, shape))
+    dvec = jnp.where(noswap[..., None], diff, -diff)
+    # f3 is the source normal against the *effective* (possibly flipped)
+    # direction: angle1 unswapped, -angle2 swapped (PCL pfh_tools semantics).
+    f3 = jnp.where(noswap, angle1, -angle2)
+
+    v = jnp.cross(dvec, ns)
+    v_norm = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1), 0.0))
+    ok = ok & (v_norm > 0)
+    v = v / jnp.where(v_norm > 0, v_norm, jnp.ones_like(v_norm))[..., None]
+    w = jnp.cross(ns, v)
+
+    f2 = jnp.sum(v * nt, axis=-1)
+    f1 = jnp.arctan2(jnp.sum(w * nt, axis=-1), jnp.sum(ns * nt, axis=-1))
+
+    pi = jnp.asarray(np.pi, dtype)
+    b1 = jnp.clip(
+        jnp.floor(_NR_BINS * (f1 + pi) / (2.0 * pi)).astype(jnp.int32), 0, _NR_BINS - 1
+    )
+    b2 = jnp.clip(
+        jnp.floor(_NR_BINS * (f2 + 1.0) * 0.5).astype(jnp.int32), 0, _NR_BINS - 1
+    )
+    b3 = jnp.clip(
+        jnp.floor(_NR_BINS * (f3 + 1.0) * 0.5).astype(jnp.int32), 0, _NR_BINS - 1
+    )
+    return ok, dist2, b1, b2, b3
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def _spfh_chunk(chunk_pts, chunk_normals, chunk_valid, pts, normals, radius):
+    """(B, 33) SPFH histograms for a block of query points."""
+    dtype = pts.dtype
+    diff2 = jnp.sum((pts[None, :, :] - chunk_pts[:, None, :]) ** 2, axis=-1)
+    mask = diff2 <= radius * radius  # includes self (dist 0)
+    ok, _, b1, b2, b3 = _pair_features_block(
+        chunk_pts, chunk_normals, pts, normals, mask
+    )
+    okf = ok.astype(dtype) * chunk_valid[:, None]
+    cnt = jnp.sum(mask, axis=1).astype(dtype)
+    incr = 100.0 / jnp.maximum(cnt - 1.0, 1.0)
+
+    def hist(bins):
+        oh = jax.nn.one_hot(bins, _NR_BINS, dtype=dtype)  # (B, N, 11)
+        return jnp.einsum("pq,pqb->pb", okf, oh) * incr[:, None]
+
+    return jnp.concatenate([hist(b1), hist(b2), hist(b3)], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def _fpfh_chunk(chunk_pts, pts, spfh, radius):
+    """(B, 33) FPFH from all-point SPFHs for a block of query points."""
+    dtype = pts.dtype
+    diff2 = jnp.sum((pts[None, :, :] - chunk_pts[:, None, :]) ** 2, axis=-1)
+    mask = (diff2 <= radius * radius) & (diff2 > 0)
+    wgt = jnp.where(mask, 1.0 / jnp.maximum(diff2, 1e-30), 0.0).astype(dtype)
+    raw = wgt @ spfh  # (B, 33)
+    out = []
+    for blk in range(3):
+        seg = raw[:, blk * _NR_BINS : (blk + 1) * _NR_BINS]
+        s = jnp.sum(seg, axis=-1, keepdims=True)
+        out.append(jnp.where(s > 0, seg * (100.0 / jnp.where(s > 0, s, 1.0)), seg))
+    return jnp.concatenate(out, axis=-1)
+
+
+def _chunks(n: int, size: int):
+    for start in range(0, n, size):
+        yield start, min(start + size, n)
+
+
+def compute_fpfh(
+    pts: jnp.ndarray,
+    normals: jnp.ndarray,
+    radius: float,
+    valid: Optional[jnp.ndarray] = None,
+    chunk_size: int = 1024,
+) -> jnp.ndarray:
+    """(N, 33) FPFH descriptors from points and normals, chunked over rows."""
+    n = pts.shape[0]
+    dtype = pts.dtype
+    b = min(chunk_size, n)
+    ones = jnp.ones((n,), dtype) if valid is None else jnp.asarray(valid).astype(dtype)
+
+    def run_chunked(fn, *extra):
+        outs = []
+        for s, e in _chunks(n, b):
+            pad = b - (e - s)
+            cp = pts[s:e]
+            cn = normals[s:e]
+            cv = ones[s:e]
+            if pad:
+                cp = jnp.pad(cp, ((0, pad), (0, 0)))
+                cn = jnp.pad(cn, ((0, pad), (0, 0)))
+                cv = jnp.pad(cv, (0, pad))
+            outs.append(fn(cp, cn, cv, *extra)[: e - s])
+        return jnp.concatenate(outs, axis=0)
+
+    spfh = run_chunked(
+        lambda cp, cn, cv: _spfh_chunk(cp, cn, cv, pts, normals, radius)
+    )
+    fpfh = run_chunked(lambda cp, cn, cv: _fpfh_chunk(cp, pts, spfh, radius))
+    return fpfh
+
+
+class FPFHEstimation:
+    """Reference-style facade (fpfh.h:23-92): computeFPFHFeatures + getNormals."""
+
+    def __init__(self, chunk_size: int = 1024):
+        self._normals = np.zeros((0, 3))
+        self._chunk_size = chunk_size
+
+    def computeFPFHFeatures(
+        self,
+        input_cloud,
+        normal_search_radius: float = 0.03,
+        fpfh_search_radius: float = 0.05,
+    ) -> np.ndarray:
+        """(N, 33) float descriptors of ``input_cloud`` (PointCloud or (N,3))."""
+        pts = np.asarray(getattr(input_cloud, "points", input_cloud), dtype=np.float64)
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        pts_d = jnp.asarray(pts, dtype)
+        nres = estimate_normals(
+            pts_d, normal_search_radius, chunk_size=self._chunk_size
+        )
+        self._normals = np.asarray(nres.normals)
+        desc = compute_fpfh(
+            pts_d, nres.normals, fpfh_search_radius, chunk_size=self._chunk_size
+        )
+        return np.asarray(desc)
+
+    def getNormals(self) -> np.ndarray:
+        return self._normals
+
+
+def compute_fpfh_features(
+    cloud, normal_search_radius: float = 0.03, fpfh_search_radius: float = 0.05
+):
+    """Functional convenience wrapper returning (descriptors, normals)."""
+    est = FPFHEstimation()
+    desc = est.computeFPFHFeatures(cloud, normal_search_radius, fpfh_search_radius)
+    return desc, est.getNormals()

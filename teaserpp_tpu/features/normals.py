@@ -1,0 +1,119 @@
+"""Surface normal estimation on dense neighbor masks.
+
+TPU-native replacement for the reference's pcl::NormalEstimationOMP usage
+(fpfh.cc:28-33): per-point covariance of the radius neighborhood computed
+with matmuls against (B, N) row-block neighbor masks, smallest eigenvector
+via the batched Jacobi 3x3 eigensolver, deterministic orientation toward the
+viewpoint (PCL flipNormalTowardsViewpoint semantics, default origin).
+Chunked over query rows so 100K-point clouds stream through fixed-size
+device kernels.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from teaserpp_tpu.ops.procrustes import jacobi_eigh_small
+
+
+class NormalsResult(NamedTuple):
+    normals: jnp.ndarray  # (N, 3)
+    curvatures: jnp.ndarray  # (N,) lambda_0 / (l0 + l1 + l2), PCL-style
+    valid: jnp.ndarray  # (N,) bool — at least 3 neighbors
+
+
+def radius_neighbor_mask(
+    pts: jnp.ndarray, radius: float, valid: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """(N, N) bool: ||p_i - p_j|| <= radius (self included, PCL convention)."""
+    sq = jnp.sum(pts * pts, axis=-1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (pts @ pts.T)
+    mask = d2 <= radius * radius
+    if valid is not None:
+        mask = mask & valid[None, :] & valid[:, None]
+    return mask
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def _normals_chunk(chunk_pts, pts, viewpoint, radius):
+    dtype = pts.dtype
+    n = pts.shape[0]
+    diff2 = jnp.sum((pts[None, :, :] - chunk_pts[:, None, :]) ** 2, axis=-1)
+    mask = (diff2 <= radius * radius).astype(dtype)  # (B, N)
+    cnt = jnp.sum(mask, axis=1)
+    safe_cnt = jnp.maximum(cnt, 1.0)
+
+    s1 = mask @ pts  # (B, 3)
+    mean = s1 / safe_cnt[:, None]
+    xx = jnp.einsum("qi,qj->qij", pts, pts).reshape(n, 9)
+    s2 = (mask @ xx).reshape(-1, 3, 3)
+    cov = s2 / safe_cnt[:, None, None] - jnp.einsum("pi,pj->pij", mean, mean)
+
+    eigvals, eigvecs = jacobi_eigh_small(cov)
+    order = jnp.argsort(eigvals, axis=-1)
+    small = order[:, 0]
+    normal = jnp.take_along_axis(
+        eigvecs, small[:, None, None].repeat(3, axis=1), axis=-1
+    )[..., 0]
+    lam = jnp.take_along_axis(eigvals, order, axis=-1)
+    lam_sum = jnp.sum(jnp.abs(lam), axis=-1)
+    curvature = jnp.where(
+        lam_sum > 0,
+        jnp.abs(lam[:, 0]) / jnp.where(lam_sum > 0, lam_sum, 1.0),
+        0.0,
+    )
+
+    to_vp = viewpoint[None, :] - chunk_pts
+    flip = jnp.sum(normal * to_vp, axis=-1) < 0
+    normal = jnp.where(flip[:, None], -normal, normal)
+    return normal, curvature, cnt >= 3
+
+
+def estimate_normals(
+    pts: jnp.ndarray,
+    radius: float,
+    viewpoint: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    valid: Optional[jnp.ndarray] = None,
+    chunk_size: int = 1024,
+) -> NormalsResult:
+    """Per-point normals from the radius neighborhood covariance.
+
+    Args:
+      pts: (N, 3) points.
+      radius: neighborhood radius (PCL setRadiusSearch equivalent).
+      viewpoint: orientation reference; normals flipped to face it.
+      valid: optional (N,) padding mask (invalid points excluded from
+        neighborhoods and marked invalid in the result).
+      chunk_size: query-row block size for the streamed device kernels.
+    """
+    dtype = pts.dtype
+    n = pts.shape[0]
+    vp = jnp.asarray(viewpoint, dtype)
+    if valid is not None:
+        # exclude invalid points from every neighborhood by parking them far away
+        far = jnp.asarray(1e12, dtype)
+        pts_eff = jnp.where(valid[:, None], pts, far)
+    else:
+        pts_eff = pts
+    b = min(chunk_size, n)
+    normals, curvatures, ok = [], [], []
+    for s in range(0, n, b):
+        e = min(s + b, n)
+        cp = pts_eff[s:e]
+        pad = b - (e - s)
+        if pad:
+            cp = jnp.pad(cp, ((0, pad), (0, 0)))
+        nr, cv, vo = _normals_chunk(cp, pts_eff, vp, radius)
+        normals.append(nr[: e - s])
+        curvatures.append(cv[: e - s])
+        ok.append(vo[: e - s])
+    normal = jnp.concatenate(normals, axis=0)
+    curvature = jnp.concatenate(curvatures, axis=0)
+    okv = jnp.concatenate(ok, axis=0)
+    if valid is not None:
+        okv = okv & valid
+    return NormalsResult(normals=normal, curvatures=curvature, valid=okv)

