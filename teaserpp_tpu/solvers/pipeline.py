@@ -116,21 +116,28 @@ def device_clique_stage(
     if mode == InlierSelectionMode.KCORE_HEU:
         core = core_numbers(adj, valid)
         max_core = jnp.max(core)
-        nv = (
-            jnp.asarray(n, jnp.float32)
-            if valid is None
-            else jnp.sum(valid).astype(jnp.float32)
-        )
-        use_kcore = jnp.logical_and(
-            params.kcore_heuristic_threshold != 1,
-            max_core.astype(jnp.float32)
-            > params.kcore_heuristic_threshold * nv,
-        )
         kcore_mask = core >= max_core
-        heu = heuristic_max_clique(
-            adj, valid=valid, num_seeds=params.max_clique_heuristic_seeds
-        )
-        mask = jnp.where(use_kcore, kcore_mask, heu.mask)
+        if params.kcore_heuristic_threshold <= 0:
+            # threshold 0 = "always take the top k-core" (reference
+            # registration.h:480-482) — statically skip the greedy search,
+            # which matters because under vmap both sides of a data-dependent
+            # select would otherwise execute.
+            mask = kcore_mask
+        else:
+            nv = (
+                jnp.asarray(n, jnp.float32)
+                if valid is None
+                else jnp.sum(valid).astype(jnp.float32)
+            )
+            use_kcore = jnp.logical_and(
+                params.kcore_heuristic_threshold != 1,
+                max_core.astype(jnp.float32)
+                > params.kcore_heuristic_threshold * nv,
+            )
+            heu = heuristic_max_clique(
+                adj, valid=valid, num_seeds=params.max_clique_heuristic_seeds
+            )
+            mask = jnp.where(use_kcore, kcore_mask, heu.mask)
     else:  # PMC_HEU -> on-device greedy heuristic
         heu = heuristic_max_clique(
             adj, valid=valid, num_seeds=params.max_clique_heuristic_seeds
