@@ -27,6 +27,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache: the heavy pipeline graphs compile once
+    # per (batch, params) and are reused across bench invocations.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     sys.path.insert(0, "examples")
     from bunny_registration import make_bunny_problem, T
 

@@ -303,11 +303,35 @@ def optimal_dual_projection(
     return wd4.reshape(npm, npm)
 
 
-def suboptimality_gap(m: jnp.ndarray, mu: jnp.ndarray, n: int) -> jnp.ndarray:
-    """(-lambda_min(M) * (N+1)) / mu, clamped at 0 (certification.cc:192-231)."""
+def suboptimality_gap(
+    m: jnp.ndarray,
+    mu: jnp.ndarray,
+    n: int,
+    solver: EigSolverType = EigSolverType.DENSE,
+) -> jnp.ndarray:
+    """(-lambda_min(M) * (N+1)) / mu, clamped at 0 (certification.cc:192-231).
+
+    ``solver`` mirrors the reference's Eigen/Spectra switch
+    (certification.cc:198-218): DENSE is a full ``eigvalsh``; ITERATIVE finds
+    only the minimum eigenvalue by LOBPCG on the shifted negated matrix —
+    the analog of the reference's Spectra path for large instances.
+    """
     sym = (m + m.T) / 2
-    eigvals = jnp.linalg.eigvalsh(sym)
-    min_eig = eigvals[..., 0]
+    if solver == EigSolverType.ITERATIVE:
+        from jax.experimental.sparse.linalg import lobpcg_standard
+
+        npm = sym.shape[-1]
+        # lambda_min(sym) = shift - lambda_max(shift*I - sym); a Frobenius
+        # bound keeps the shifted operator PSD.
+        shift = jnp.sqrt(jnp.sum(sym * sym))
+        x0 = jnp.ones((npm, 1), sym.dtype) / jnp.sqrt(jnp.asarray(npm, sym.dtype))
+        theta, _, _ = lobpcg_standard(
+            shift * jnp.eye(npm, dtype=sym.dtype) - sym, x0, m=100
+        )
+        min_eig = shift - theta[0]
+    else:
+        eigvals = jnp.linalg.eigvalsh(sym)
+        min_eig = eigvals[..., 0]
     gap = (-min_eig * (n + 1)) / mu
     return jnp.where(min_eig > 0, jnp.zeros_like(gap), gap)
 
@@ -357,7 +381,9 @@ def _certify_core(
         temp_w = 2.0 * m_psd - m - m_init
         w_dual = optimal_dual_projection(temp_w, theta_prepended, i_idx, j_idx)
         m_affine = m_init + w_dual
-        gap = suboptimality_gap(m_affine, mu, n)
+        gap = suboptimality_gap(
+            m_affine, mu, n, params.eig_decomposition_solver
+        )
         best = jnp.minimum(best, gap)
         traj = traj.at[it].set(gap)
         done = gap < params.sub_optimality
