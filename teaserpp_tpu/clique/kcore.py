@@ -31,7 +31,9 @@ def core_numbers(
       (N,) int32 core numbers.
     """
     n = adj.shape[-1]
-    adj_f = adj.astype(jnp.float32)
+    # int8 adjacency: the peel loop re-reads it every round, so narrow dtype
+    # cuts HBM traffic 4x vs f32 (the MXU takes int8 operands natively).
+    adj_i8 = adj.astype(jnp.int8)
     active0 = (
         jnp.ones((n,), bool) if valid is None else jnp.asarray(valid).astype(bool)
     )
@@ -44,7 +46,12 @@ def core_numbers(
 
     def body(state):
         active, core, k = state
-        deg = (adj_f @ active.astype(jnp.float32)).astype(jnp.int32)
+        deg = jax.lax.dot_general(
+            adj_i8,
+            active.astype(jnp.int8),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
         big = jnp.asarray(n + 1, jnp.int32)
         mind = jnp.min(jnp.where(active, deg, big))
         k = jnp.maximum(k, mind)
