@@ -1,0 +1,39 @@
+"""Pallas kernel tests (interpret mode on the CPU test host).
+
+The real-TPU agreement/performance check lives in the bench flow; here the
+kernel runs under the Pallas interpreter and must match the XLA reference
+path bit-for-bit.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from teaserpp_tpu.parallel.sharded import trim_adjacency_dense
+
+
+def test_trim_adjacency_pallas_interpret_matches_xla(rng):
+    from jax.experimental.pallas import tpu as pltpu
+    from teaserpp_tpu.ops import pallas_kernels as pk
+
+    n = 300
+    src = rng.uniform(-1, 1, (3, n)).astype(np.float32)
+    dst = (src + rng.normal(scale=0.002, size=(3, n))).astype(np.float32)
+    out_idx = rng.choice(n, size=200, replace=False)
+    dst[:, out_idx] += rng.uniform(1, 4, size=(3, 200))
+    noise_bound = 0.005
+    beta = 2 * noise_bound
+
+    with pltpu.force_tpu_interpret_mode():
+        adj_p = np.asarray(
+            pk.trim_adjacency_pallas(
+                jnp.asarray(src), jnp.asarray(dst), beta, tile=128
+            )
+        ).astype(bool)
+    adj_x = np.asarray(
+        trim_adjacency_dense(jnp.asarray(src), jnp.asarray(dst), noise_bound)
+    )
+    assert adj_p.shape == adj_x.shape
+    assert (adj_p == adj_x).mean() > 0.9999  # identical modulo fp boundary ties
+    assert not adj_p.diagonal().any()
