@@ -5,6 +5,15 @@ program (the TPU-native organizing principle — no reference analog, which is
 single-problem-per-process).
 """
 
+import os as _os
+import sys as _sys
+
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+for _p in (_REPO_ROOT, _os.path.join(_REPO_ROOT, "examples")):
+    if _p not in _sys.path:
+        _sys.path.insert(0, _p)
+
+
 import time
 
 import numpy as np

@@ -6,6 +6,15 @@ and 1700 random outliers (~90%), then solve with known scale + exact max
 clique + GNC-TLS and report rotation/translation errors and wall time.
 """
 
+import os as _os
+import sys as _sys
+
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+for _p in (_REPO_ROOT, _os.path.join(_REPO_ROOT, "examples")):
+    if _p not in _sys.path:
+        _sys.path.insert(0, _p)
+
+
 import argparse
 import time
 

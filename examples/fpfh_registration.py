@@ -6,6 +6,15 @@ runs the robust solver on them (reference
 examples/teaser_cpp_fpfh/teaser_cpp_fpfh.cc flow).
 """
 
+import os as _os
+import sys as _sys
+
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+for _p in (_REPO_ROOT, _os.path.join(_REPO_ROOT, "examples")):
+    if _p not in _sys.path:
+        _sys.path.insert(0, _p)
+
+
 import time
 
 import numpy as np

@@ -6,6 +6,15 @@ unsharded. Synthetic stress configuration from BASELINE.md: 10K
 correspondences at 95-99% outliers.
 """
 
+import os as _os
+import sys as _sys
+
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+for _p in (_REPO_ROOT, _os.path.join(_REPO_ROOT, "examples")):
+    if _p not in _sys.path:
+        _sys.path.insert(0, _p)
+
+
 import time
 
 import numpy as np
