@@ -73,6 +73,40 @@ def compute_tim_norms(v: jnp.ndarray, use_matmul: bool = False) -> jnp.ndarray:
     return jnp.sqrt(jnp.sum(tims * tims, axis=-2))
 
 
+def trim_adjacency_dense(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    noise_bound: float,
+    cbar2: float = 1.0,
+    valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """(N, N) bool TRIM consistency adjacency via the MXU distance trick.
+
+    adj[i, j] = | ||src_i - src_j|| - ||dst_i - dst_j|| | <= 2 nb sqrt(cbar2),
+    i != j — the known-scale inlier-graph construction (reference
+    registration.cc:427-443 + 609-619) with no upper-triangle gathers:
+    two Gram matmuls and elementwise ops, row-shardable for huge N.
+    """
+    import math
+
+    beta = 2.0 * noise_bound * math.sqrt(cbar2)
+
+    def pdist(v):
+        sq = jnp.sum(v * v, axis=-2)
+        gram = jnp.einsum("...dn,...dm->...nm", v, v)
+        d2 = sq[..., :, None] + sq[..., None, :] - 2.0 * gram
+        return jnp.sqrt(jnp.maximum(d2, 0.0))
+
+    ds = pdist(src)
+    dd = pdist(dst)
+    n = src.shape[-1]
+    adj = jnp.abs(ds - dd) <= beta
+    adj = adj & ~jnp.eye(n, dtype=bool)
+    if valid is not None:
+        adj = adj & valid[..., None, :] & valid[..., :, None]
+    return adj
+
+
 def chain_tims(
     v: jnp.ndarray, clique_mask: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -37,35 +37,11 @@ from teaserpp_tpu.clique.kcore import core_numbers
 from teaserpp_tpu.clique.heuristic import heuristic_max_clique
 
 
-def trim_adjacency_dense(
-    src: jnp.ndarray,
-    dst: jnp.ndarray,
-    noise_bound: float,
-    cbar2: float = 1.0,
-    valid: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
-    """(N, N) bool TRIM consistency adjacency via the MXU distance trick.
-
-    adj[i, j] = | ||src_i - src_j|| - ||dst_i - dst_j|| | <= 2 nb sqrt(cbar2),
-    i != j. Row-shardable: with the output constrained to P('pairs', None),
-    XLA computes each row block locally from the replicated point sets.
-    """
-    beta = 2.0 * noise_bound * math.sqrt(cbar2)
-
-    def pdist(v):
-        sq = jnp.sum(v * v, axis=0)
-        gram = v.T @ v
-        d2 = sq[:, None] + sq[None, :] - 2.0 * gram
-        return jnp.sqrt(jnp.maximum(d2, 0.0))
-
-    ds = pdist(src)
-    dd = pdist(dst)
-    n = src.shape[-1]
-    adj = jnp.abs(ds - dd) <= beta
-    adj = adj & ~jnp.eye(n, dtype=bool)
-    if valid is not None:
-        adj = adj & valid[None, :] & valid[:, None]
-    return adj
+# Re-exported from ops.tims (shared with the fused pipeline); kept here for
+# API stability — this is the row-shardable building block: with the output
+# constrained to P('pairs', None), XLA computes each row block locally from
+# the replicated point sets.
+from teaserpp_tpu.ops.tims import trim_adjacency_dense  # noqa: E402,F401
 
 
 class LargeSolveResult(NamedTuple):

@@ -29,6 +29,7 @@ from teaserpp_tpu.ops.tims import (
     chain_tims,
     compute_tim_norms,
     tim_pair_valid,
+    trim_adjacency_dense,
     upper_tri_indices,
 )
 from teaserpp_tpu.solvers.scale import select_scale_inliers, solve_scale_tls
@@ -91,28 +92,14 @@ def scale_stage(
     return ScaleStageResult(scale=res.scale, pair_mask=res.inliers)
 
 
-def device_clique_stage(
-    pair_mask: jnp.ndarray,
-    n: int,
+def device_clique_from_adjacency(
+    adj: jnp.ndarray,
     params: RobustRegistrationSolverParams,
     valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """On-device inlier clique selection -> (N,) bool mask.
-
-    Covers NONE / KCORE_HEU / PMC_HEU modes (reference registration.cc:609-654
-    with graph.cc semantics); PMC_EXACT goes through the host facade.
-    """
+    """On-device inlier selection from a dense adjacency -> (N,) bool mask."""
+    n = adj.shape[-1]
     mode = params.resolved_inlier_selection_mode()
-    if mode == InlierSelectionMode.NONE:
-        mask = jnp.ones((n,), bool)
-        if valid is not None:
-            mask = mask & valid
-        return mask
-
-    adj = adjacency_from_pair_mask(pair_mask, n)
-    if valid is not None:
-        adj = adj & valid[None, :] & valid[:, None]
-
     if mode == InlierSelectionMode.KCORE_HEU:
         core = core_numbers(adj, valid)
         max_core = jnp.max(core)
@@ -146,6 +133,30 @@ def device_clique_stage(
     if valid is not None:
         mask = mask & valid
     return mask
+
+
+def device_clique_stage(
+    pair_mask: jnp.ndarray,
+    n: int,
+    params: RobustRegistrationSolverParams,
+    valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """On-device inlier clique selection -> (N,) bool mask.
+
+    Covers NONE / KCORE_HEU / PMC_HEU modes (reference registration.cc:609-654
+    with graph.cc semantics); PMC_EXACT goes through the host facade.
+    """
+    mode = params.resolved_inlier_selection_mode()
+    if mode == InlierSelectionMode.NONE:
+        mask = jnp.ones((n,), bool)
+        if valid is not None:
+            mask = mask & valid
+        return mask
+
+    adj = adjacency_from_pair_mask(pair_mask, n)
+    if valid is not None:
+        adj = adj & valid[None, :] & valid[:, None]
+    return device_clique_from_adjacency(adj, params, valid)
 
 
 def rotation_translation_stage(
@@ -276,8 +287,23 @@ def register_pair(
 
     Jittable end to end for NONE / KCORE_HEU / PMC_HEU inlier selection with
     the CHAIN rotation graph. ``valid`` masks padded correspondences.
+
+    Known-scale fast path: when scale is fixed and a clique mode is active,
+    the K-vector TIM norms are skipped entirely — the dense N x N TRIM
+    adjacency is built directly with two Gram matmuls (no upper-triangle
+    gathers), and the returned ``scale_pair_mask`` is empty (use
+    :func:`scale_stage` when the per-pair mask itself is needed).
     """
     n = src.shape[-1]
+    mode = params.resolved_inlier_selection_mode()
+    if not params.estimate_scaling and mode != InlierSelectionMode.NONE:
+        adj = trim_adjacency_dense(
+            src, dst, params.noise_bound, params.cbar2, valid
+        )
+        clique_mask = device_clique_from_adjacency(adj, params, valid)
+        scale = jnp.ones((), src.dtype)
+        sol = rotation_translation_stage(src, dst, scale, clique_mask, params)
+        return sol
     sc = scale_stage(src, dst, params, valid=valid, use_matmul_norms=use_matmul_norms)
     clique_mask = device_clique_stage(sc.pair_mask, n, params, valid=valid)
     sol = rotation_translation_stage(src, dst, sc.scale, clique_mask, params)
