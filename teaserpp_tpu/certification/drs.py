@@ -401,6 +401,54 @@ def _certify_core(
 
 _certify_jit = jax.jit(_certify_core, static_argnames=("params",))
 
+_certify_batch_jit = jax.jit(
+    jax.vmap(_certify_core, in_axes=(0, 0, 0, 0, None)),
+    static_argnames=("params",),
+)
+
+
+def certify_batch(
+    rotations,
+    src_tims,
+    dst_tims,
+    thetas,
+    params: Optional[DRSCertifierParams] = None,
+):
+    """Certify a batch of rotation solutions in one device program.
+
+    Args:
+      rotations: (B, 3, 3); src_tims/dst_tims: (B, 3, N); thetas: (B, N) of
+        +-1 (or bool).
+    Returns:
+      list of :class:`CertificationResult` (host-materialized).
+
+    No reference analog (one certification per call there); this is the
+    TPU-native batched form — B DRS solves sharing one eigh-heavy program.
+    """
+    params = params or DRSCertifierParams()
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    thetas = np.asarray(thetas)
+    if thetas.dtype == bool:
+        thetas = np.where(thetas, 1.0, -1.0)
+    best, traj, iters = _certify_batch_jit(
+        jnp.asarray(rotations, dtype),
+        jnp.asarray(src_tims, dtype),
+        jnp.asarray(dst_tims, dtype),
+        jnp.asarray(thetas, dtype),
+        params,
+    )
+    best = np.asarray(best)
+    iters = np.asarray(iters)
+    traj = np.asarray(traj)
+    return [
+        CertificationResult(
+            is_optimal=bool(best[b] < params.sub_optimality),
+            best_suboptimality=float(best[b]),
+            suboptimality_traj=[float(v) for v in traj[b, : iters[b]]],
+        )
+        for b in range(len(best))
+    ]
+
 
 class DRSCertifier:
     """Optimality certifier facade (reference certification.h:39-260 API)."""

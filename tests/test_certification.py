@@ -198,3 +198,40 @@ def test_random_certification_optimal(rng):
     certifier = DRSCertifier(DRSCertifierParams(noise_bound=nb))
     result = certifier.certify(np.asarray(rot.rotation), src_tims, dst_tims, theta)
     assert result.is_optimal
+
+
+def test_certify_batch_matches_single(rng):
+    """Batched certification equals per-problem certification."""
+    from teaserpp_tpu.certification.drs import certify_batch
+    from teaserpp_tpu.ops import compute_tims
+    from teaserpp_tpu.solvers import solve_rotation_gnc_tls
+    import jax.numpy as jnp
+
+    batch = 3
+    n = 12
+    rotations, srcs, dsts, thetas = [], [], [], []
+    nb = 0.06
+    for _ in range(batch):
+        src, dst, s, r, t, _ = make_registration_problem(
+            rng, n=n, outlier_ratio=0.2, noise=0.01, translation_scale=0.0
+        )
+        st = np.asarray(compute_tims(jnp.asarray(src)))
+        dt = np.asarray(compute_tims(jnp.asarray(dst)))
+        rot = solve_rotation_gnc_tls(jnp.asarray(st), jnp.asarray(dt), nb)
+        rotations.append(np.asarray(rot.rotation))
+        srcs.append(st)
+        dsts.append(dt)
+        thetas.append(np.where(np.asarray(rot.inliers), 1.0, -1.0))
+
+    params = DRSCertifierParams(noise_bound=nb)
+    batched = certify_batch(
+        np.stack(rotations), np.stack(srcs), np.stack(dsts), np.stack(thetas),
+        params,
+    )
+    certifier = DRSCertifier(params)
+    for b in range(batch):
+        single = certifier.certify(rotations[b], srcs[b], dsts[b], thetas[b])
+        assert batched[b].is_optimal == single.is_optimal
+        assert abs(
+            batched[b].best_suboptimality - single.best_suboptimality
+        ) < 1e-9
