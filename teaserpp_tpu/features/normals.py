@@ -41,16 +41,20 @@ def radius_neighbor_mask(
 @partial(jax.jit, static_argnames=("radius",))
 def _normals_chunk(chunk_pts, pts, viewpoint, radius):
     dtype = pts.dtype
-    n = pts.shape[0]
-    diff2 = jnp.sum((pts[None, :, :] - chunk_pts[:, None, :]) ** 2, axis=-1)
+    # Work on query-centered differences: the covariance of a radius-r
+    # neighborhood is ~r^2 while raw second moments scale with the cloud's
+    # distance from the origin squared — accumulating raw moments in f32
+    # loses the covariance to cancellation (observed: garbage normals on
+    # clouds ~2 m from the origin). Centered accumulation is shift-invariant.
+    diff = pts[None, :, :] - chunk_pts[:, None, :]  # (B, N, 3)
+    diff2 = jnp.sum(diff * diff, axis=-1)
     mask = (diff2 <= radius * radius).astype(dtype)  # (B, N)
     cnt = jnp.sum(mask, axis=1)
     safe_cnt = jnp.maximum(cnt, 1.0)
 
-    s1 = mask @ pts  # (B, 3)
+    s1 = jnp.einsum("bn,bni->bi", mask, diff)
     mean = s1 / safe_cnt[:, None]
-    xx = jnp.einsum("qi,qj->qij", pts, pts).reshape(n, 9)
-    s2 = (mask @ xx).reshape(-1, 3, 3)
+    s2 = jnp.einsum("bn,bni,bnj->bij", mask, diff, diff)
     cov = s2 / safe_cnt[:, None, None] - jnp.einsum("pi,pj->pij", mean, mean)
 
     eigvals, eigvecs = jacobi_eigh_small(cov)
