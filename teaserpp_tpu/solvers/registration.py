@@ -83,6 +83,12 @@ class RobustRegistrationSolver:
     def reset(self, params: RobustRegistrationSolverParams) -> None:
         """Reset params and clear all cached solve state (registration.h:830-908)."""
         self.params = params
+        from teaserpp_tpu.utils.timing import StageTimer
+
+        # Per-stage wall timings of the last solve — compiled-in observability
+        # (the reference gates chrono macros behind TEASER_DIAG_PRINT;
+        # here it's always available via getStageTimings()).
+        self._timer = StageTimer()
         self._solution = RegistrationSolution(valid=False)
         self._n = 0
         self._src = None
@@ -132,31 +138,33 @@ class RobustRegistrationSolver:
         mode = params.resolved_inlier_selection_mode()
 
         # ---- scale stage (TIM norms + TLS scale / TRIM selector)
-        sc = _scale_stage_jit(src_d, dst_d, params)
-        scale = float(sc.scale)
+        with self._timer.stage("scale"):
+            sc = _scale_stage_jit(src_d, dst_d, params)
+            scale = float(sc.scale)
         self._scale_pair_mask = np.asarray(sc.pair_mask)
         self._solution.scale = scale
 
         # ---- clique stage
         if mode != InlierSelectionMode.NONE:
-            adj = np.asarray(adjacency_from_pair_mask(sc.pair_mask, n))
-            self._inlier_graph = Graph(adj)
-            clique_params = MaxCliqueSolverParams(
-                solver_mode=CliqueSolverMode(
-                    {
-                        InlierSelectionMode.PMC_EXACT: CliqueSolverMode.PMC_EXACT,
-                        InlierSelectionMode.PMC_HEU: CliqueSolverMode.PMC_HEU,
-                        InlierSelectionMode.KCORE_HEU: CliqueSolverMode.KCORE_HEU,
-                    }[mode]
-                ),
-                time_limit=params.max_clique_time_limit,
-                kcore_heuristic_threshold=params.kcore_heuristic_threshold,
-                num_threads=params.max_clique_num_threads,
-                heuristic_num_seeds=params.max_clique_heuristic_seeds,
-            )
-            self._max_clique = sorted(
-                MaxCliqueSolver(clique_params).findMaxClique(self._inlier_graph)
-            )
+            with self._timer.stage("clique"):
+                adj = np.asarray(adjacency_from_pair_mask(sc.pair_mask, n))
+                self._inlier_graph = Graph(adj)
+                clique_params = MaxCliqueSolverParams(
+                    solver_mode=CliqueSolverMode(
+                        {
+                            InlierSelectionMode.PMC_EXACT: CliqueSolverMode.PMC_EXACT,
+                            InlierSelectionMode.PMC_HEU: CliqueSolverMode.PMC_HEU,
+                            InlierSelectionMode.KCORE_HEU: CliqueSolverMode.KCORE_HEU,
+                        }[mode]
+                    ),
+                    time_limit=params.max_clique_time_limit,
+                    kcore_heuristic_threshold=params.kcore_heuristic_threshold,
+                    num_threads=params.max_clique_num_threads,
+                    heuristic_num_seeds=params.max_clique_heuristic_seeds,
+                )
+                self._max_clique = sorted(
+                    MaxCliqueSolver(clique_params).findMaxClique(self._inlier_graph)
+                )
             if len(self._max_clique) <= 1:
                 # Degenerate clique: abort (reference registration.cc:643-647).
                 self._solution.valid = False
@@ -167,6 +175,8 @@ class RobustRegistrationSolver:
         clique = np.asarray(self._max_clique, np.int32)
 
         # ---- rotation + translation stage
+        rt_ctx = self._timer.stage("rotation_translation")
+        rt_ctx.__enter__()
         if params.rotation_tim_graph == InlierGraphFormulation.CHAIN:
             clique_mask = np.zeros(n, bool)
             clique_mask[clique] = True
@@ -224,7 +234,13 @@ class RobustRegistrationSolver:
         self._solution.valid = True
         self._solution.rotation = np.asarray(sol.rotation, np.float64)
         self._solution.translation = np.asarray(sol.translation, np.float64)
+        rt_ctx.__exit__(None, None, None)
         return self._solution
+
+    def getStageTimings(self) -> dict:
+        """Wall-clock seconds per stage of the last solve (always collected;
+        the reference's analog is compile-gated TEASER_DEBUG_*_TIMING macros)."""
+        return self._timer.as_dict()
 
     # --------------------------------------------------------------- getters
     def getSolution(self) -> RegistrationSolution:
