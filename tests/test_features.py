@@ -171,3 +171,19 @@ def test_fpfh_registration_end_to_end(rng):
     assert sol.valid
     assert angular_error(sol.rotation, r) < 0.05
     assert translation_error(sol.translation, t) < 0.05
+
+
+def test_matcher_generic_descriptor_dimension(rng):
+    """The matcher accepts arbitrary-D descriptors (e.g. 32-D 3DSmoothNet),
+    not only 33-bin FPFH (reference matcher templates over feature vectors)."""
+    n = 200
+    desc_src = rng.normal(size=(n, 32)).astype(np.float32)
+    noise = rng.normal(scale=1e-3, size=(n, 32)).astype(np.float32)
+    desc_dst = desc_src + noise
+    pts_src = rng.normal(size=(n, 3))
+    pts_dst = pts_src + 0.1
+    corr = Matcher().calculateCorrespondences(
+        pts_src, pts_dst, desc_src, desc_dst, False, True, False, 0.0
+    )
+    assert len(corr) >= 0.95 * n
+    assert np.mean([i == j for i, j in corr]) > 0.95
