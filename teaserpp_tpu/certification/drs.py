@@ -357,10 +357,17 @@ def _certify_core(
 
     q_cost = get_q_cost(src, dst, params.noise_bound, params.cbar2)
     q_vec = quat_from_rotation(r)
-    x_vec = jnp.kron(theta_prepended, q_vec)  # (npm,)
     d_omega = get_block_diag_omega(npm, q_vec)
     q_bar = d_omega.T @ (q_cost @ d_omega)
-    mu = x_vec @ (q_cost @ x_vec)
+    # Primal cost mu. The reference computes x^T Q x (certification.cc:92),
+    # which for a near-optimal solution is a tiny number produced by massive
+    # cancellation inside a (4N+4)^2 quadratic form — it comes out *negative*
+    # in f32. The identical closed form over residuals is cancellation-free:
+    # mu = sum_k [theta_k > 0 ? ||dst_k - R src_k||^2 : cbar2 * nb^2]
+    # (verified equal to x^T Q x at 1e-15 in f64 on the golden instances).
+    nbs = params.cbar2 * params.noise_bound * params.noise_bound
+    r2 = jnp.sum((dst - r @ src) ** 2, axis=0)
+    mu = jnp.sum(jnp.where(theta > 0, r2, jnp.full_like(r2, nbs)))
 
     lambda_bar_init = get_lambda_guess(
         r, theta, src, dst, params.noise_bound, params.cbar2
