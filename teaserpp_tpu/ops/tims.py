@@ -126,15 +126,24 @@ def chain_tims(
     Returns:
       (tims (3, N), tim_valid (N,) bool).
     """
+    import jax
+
     n = clique_mask.shape[-1]
     idx = jnp.arange(n, dtype=jnp.int32)
-    # next_sel[i] = smallest selected j > i, cyclically: pointer-doubling on
-    # "next index" links — log2(N) fully-vectorized jump-over-unselected steps.
-    nxt = (idx + 1) % n
-    steps = max(1, int(np.ceil(np.log2(max(n, 2)))))
-    for _ in range(steps):
-        nxt = jnp.where(clique_mask[nxt], nxt, nxt[nxt])
+    big = jnp.asarray(2 * n, jnp.int32)
+    # next_sel[i] = smallest selected j > i, cyclically. A reverse cumulative
+    # min of "own index if selected" gives the strictly-after successor in one
+    # scan; the cyclic wrap falls back to the first selected index overall.
+    # (One scan + one gather — random-access pointer-chasing is the expensive
+    # pattern on the VPU, a log-depth scan of contiguous lanes is not.)
+    cand = jnp.where(clique_mask, idx, big)
+    suffix_min = jax.lax.cummin(cand, axis=cand.ndim - 1, reverse=True)  # min(cand[i:])
+    after = jnp.concatenate([suffix_min[1:], big[None]], axis=-1)  # min(cand[i+1:])
+    first_sel = suffix_min[0]
+    any_sel = first_sel < big
+    nxt = jnp.where(after < big, after, first_sel)
+    nxt = jnp.where(nxt < big, nxt, 0).astype(jnp.int32)
     tims = v[..., :, nxt] - v
-    valid = clique_mask & clique_mask[nxt]
+    valid = clique_mask & any_sel
     tims = jnp.where(valid[None, :], tims, jnp.zeros_like(tims))
     return tims, valid

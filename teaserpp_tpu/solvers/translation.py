@@ -14,7 +14,7 @@ from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
-from teaserpp_tpu.ops.tls import scalar_tls
+from teaserpp_tpu.ops.tls import scalar_tls_fixed_range
 
 
 class TranslationResult(NamedTuple):
@@ -32,9 +32,10 @@ def solve_translation_tls(
     """TLS translation from (..., 3, N) aligned correspondences."""
     raw = dst - src  # (..., 3, N)
     beta = noise_bound * math.sqrt(cbar2)
-    ranges = jnp.full(raw.shape, beta, dtype=raw.dtype)
     vmask = None if valid is None else jnp.broadcast_to(valid[..., None, :], raw.shape)
-    est = scalar_tls(raw, ranges, valid=vmask)  # batches over the axis dim
+    # all rows share one half-interval (registration.cc:452) -> fixed-range
+    # fast path: one multi-operand sort, no argsort gathers
+    est = scalar_tls_fixed_range(raw, beta, valid=vmask)  # batches over the axis dim
     translation = est.estimate  # (..., 3)
     inliers = jnp.all(est.inliers, axis=-2)
     if valid is not None:

@@ -96,3 +96,31 @@ def test_translation_padding_invariance(rng):
         np.asarray(padded.translation), np.asarray(base.translation), atol=1e-12
     )
     assert not np.asarray(padded.inliers)[n:].any()
+
+
+def test_chain_tims_matches_numpy_reference(rng):
+    """chain_tims: cyclic next-selected successor semantics (registration.cc:657-680)."""
+    from teaserpp_tpu.ops.tims import chain_tims
+    import jax.numpy as jnp
+
+    n = 37
+    for trial in range(6):
+        v = rng.normal(size=(3, n))
+        mask = rng.uniform(size=n) < 0.4
+        if trial == 0:
+            mask[:] = False
+        if trial == 1:
+            mask[:] = False
+            mask[11] = True  # single selected vertex: successor is itself
+        tims, valid = chain_tims(jnp.asarray(v), jnp.asarray(mask))
+        tims = np.asarray(tims)
+        valid = np.asarray(valid)
+        sel = np.flatnonzero(mask)
+        exp_valid = np.zeros(n, bool)
+        exp = np.zeros((3, n))
+        for k, i in enumerate(sel):
+            j = sel[(k + 1) % len(sel)]
+            exp[:, i] = v[:, j] - v[:, i]
+            exp_valid[i] = True
+        assert np.array_equal(valid, exp_valid)
+        np.testing.assert_allclose(tims, exp, atol=1e-12)

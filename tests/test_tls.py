@@ -91,3 +91,42 @@ def test_tls_exactness_dense_consensus(rng):
     res = scalar_tls(jnp.asarray(x), jnp.asarray(r))
     assert abs(float(res.estimate) - true_val) < 0.01
     assert np.asarray(res.inliers)[50:].all()
+
+
+def test_tls_fixed_range_matches_general(rng):
+    """The constant-range fast path agrees with the general estimator."""
+    from teaserpp_tpu.ops.tls import scalar_tls_fixed_range
+
+    for trial in range(8):
+        n = 64
+        x = rng.normal(size=n) * 3
+        beta = float(rng.uniform(0.05, 1.0))
+        r = np.full(n, beta)
+        gen = scalar_tls(jnp.asarray(x), jnp.asarray(r))
+        fast = scalar_tls_fixed_range(jnp.asarray(x), beta)
+        assert np.isclose(float(fast.estimate), float(gen.estimate), atol=1e-9)
+        assert np.isclose(float(fast.cost), float(gen.cost), atol=1e-7)
+        assert np.array_equal(np.asarray(fast.inliers), np.asarray(gen.inliers))
+
+
+def test_tls_fixed_range_padding_and_vmap(rng):
+    """Fixed-range path: masked padding is inert and vmap matches loops."""
+    from teaserpp_tpu.ops.tls import scalar_tls_fixed_range
+
+    n, pad, batch = 48, 9, 6
+    beta = 0.2
+    xs = rng.normal(size=(batch, n)) * 2
+    xp = np.concatenate([xs, np.full((batch, pad), 77.0)], axis=1)
+    valid = np.concatenate(
+        [np.ones((batch, n), bool), np.zeros((batch, pad), bool)], axis=1
+    )
+    batched = jax.vmap(lambda x, v: scalar_tls_fixed_range(x, beta, valid=v))(
+        jnp.asarray(xp), jnp.asarray(valid)
+    )
+    for b in range(batch):
+        single = scalar_tls_fixed_range(jnp.asarray(xs[b]), beta)
+        assert np.isclose(float(batched.estimate[b]), float(single.estimate))
+        assert np.array_equal(
+            np.asarray(batched.inliers[b])[:n], np.asarray(single.inliers)
+        )
+        assert not np.asarray(batched.inliers[b])[n:].any()
