@@ -43,7 +43,7 @@ def main():
     from teaserpp_tpu.parallel import solve_batch
     from teaserpp_tpu.utils.metrics import rotation_error_deg, translation_error
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     repeats = 5
 
     srcs, dsts = [], []
@@ -85,17 +85,30 @@ def main():
     )
     ok = bool((rot_errs < 0.1).all() and (t_errs < 0.01).all())
 
-    times = []
-    for _ in range(repeats):
+    # Single-batch latency: one dispatch + one host scalar fetch (the fetch
+    # forces the full pipeline through the async relay; block_until_ready
+    # alone can be optimistic through the tunneled-TPU transport).
+    lat = []
+    for _ in range(3):
         t0 = time.perf_counter()
         out = solve_batch(src_b, dst_b, params)
-        # fetch a scalar to host: forces the full pipeline through any async
-        # dispatch/relay layer (block_until_ready alone can be optimistic
-        # through the tunneled-TPU transport)
         float(np.asarray(jnp.sum(out.rotation)))
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    regs_per_sec = batch / best
+        lat.append(time.perf_counter() - t0)
+    latency = min(lat)
+
+    # Steady-state throughput: enqueue all repeats back-to-back and sync
+    # once, so the ~23 ms relay round-trip is amortized over the stream the
+    # way a serving pipeline would run (each repeat still executes the full
+    # device program; the chip is the bottleneck, not the host).
+    t0 = time.perf_counter()
+    outs = [solve_batch(src_b, dst_b, params) for _ in range(repeats)]
+    acc = jnp.asarray(0.0, jnp.float32)
+    for o in outs:
+        acc = acc + jnp.sum(o.rotation)
+    float(np.asarray(acc))
+    total = time.perf_counter() - t0
+    best = total / repeats
+    regs_per_sec = batch * repeats / total
 
     print(
         json.dumps(
@@ -109,6 +122,7 @@ def main():
                 "trans_err_m_max": float(t_errs.max()),
                 "batch": batch,
                 "seconds_per_batch": round(best, 4),
+                "single_batch_latency_s": round(latency, 4),
             }
         )
     )

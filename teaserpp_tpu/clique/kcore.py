@@ -35,18 +35,39 @@ def pack_bits_u32(mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
 
 
+def pack_bits_u32_rows(mask: jnp.ndarray) -> jnp.ndarray:
+    """Pack a (..., N, M) bool matrix over its ROW axis into (..., W, M) words.
+
+    Bit b of word [w, j] holds element [w*32+b, j]. This layout keeps the
+    column axis (length M, typically the padded vertex count) in the TPU
+    lane dimension, so elementwise word ops tile at full vector width — the
+    (..., M, W) row-major packing would put W (= N/32, usually < 128) in
+    lanes and waste most of each tile.
+    """
+    n = mask.shape[-2]
+    w = (n + 31) // 32
+    pad = w * 32 - n
+    if pad:
+        zeros = jnp.zeros(mask.shape[:-2] + (pad,) + mask.shape[-1:], mask.dtype)
+        mask = jnp.concatenate([mask, zeros], axis=-2)
+    bits = mask.astype(jnp.uint32).reshape(*mask.shape[:-2], w, 32, mask.shape[-1])
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[:, None]
+    return jnp.sum(bits * weights, axis=-2, dtype=jnp.uint32)
+
+
 def core_numbers_bitset(
     adj: jnp.ndarray, valid: Optional[jnp.ndarray] = None
 ) -> jnp.ndarray:
-    """Core numbers via bitset rows + popcount degrees.
+    """Core numbers via a row-packed bitset + popcount degrees.
 
-    Same batch-peeling recurrence as :func:`core_numbers`, but the adjacency
-    lives as packed uint32 words, so each peel round streams N*N/8 bytes
-    instead of N*N — the peel loop is HBM-bandwidth-bound, making this ~30x
-    cheaper per round than an int8 matvec at large N.
+    Same batch-peeling recurrence as :func:`core_numbers_matvec`, but the
+    adjacency lives as packed uint32 words so each peel round streams N*N/8
+    bytes instead of N*N. The packing is over the ROW axis (adjacency is
+    symmetric), keeping the N vertex columns in the lane dimension:
+    ``deg[j] = sum_w popcount(adj_bits[w, j] & active_bits[w])``.
     """
     n = adj.shape[-1]
-    adj_bits = pack_bits_u32(adj)  # (N, W)
+    adj_bits = pack_bits_u32_rows(adj)  # (W, N)
     active0 = (
         jnp.ones((n,), bool) if valid is None else jnp.asarray(valid).astype(bool)
     )
@@ -60,9 +81,9 @@ def core_numbers_bitset(
     def body(state):
         active, core, k = state
         act_bits = pack_bits_u32(active)  # (W,)
-        live = adj_bits & act_bits[..., None, :]
+        live = adj_bits & act_bits[..., :, None]  # (W, N)
         deg = jnp.sum(
-            jax.lax.population_count(live), axis=-1
+            jax.lax.population_count(live), axis=-2
         ).astype(jnp.int32)
         big = jnp.asarray(n + 1, jnp.int32)
         mind = jnp.min(jnp.where(active, deg, big))

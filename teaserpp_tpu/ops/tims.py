@@ -79,23 +79,39 @@ def trim_adjacency_dense(
     noise_bound: float,
     cbar2: float = 1.0,
     valid: Optional[jnp.ndarray] = None,
+    use_matmul: bool = False,
 ) -> jnp.ndarray:
-    """(N, N) bool TRIM consistency adjacency via the MXU distance trick.
+    """(N, N) bool TRIM consistency adjacency, fully fused.
 
     adj[i, j] = | ||src_i - src_j|| - ||dst_i - dst_j|| | <= 2 nb sqrt(cbar2),
     i != j — the known-scale inlier-graph construction (reference
-    registration.cc:427-443 + 609-619) with no upper-triangle gathers:
-    two Gram matmuls and elementwise ops, row-shardable for huge N.
+    registration.cc:427-443 + 609-619) with no upper-triangle gathers.
+
+    The default path expands the squared distances as a broadcast-reduce
+    (``sum_k (v_ki - v_kj)^2``): the contraction depth is only 3, so the MXU
+    buys nothing, and the elementwise formulation lets XLA fuse both distance
+    fields, the compare, and the diagonal mask into one N x N loop — nothing
+    but the boolean mask ever reaches HBM. ``use_matmul=True`` keeps the
+    Gram-matmul variant (row-shardable contraction for the multi-device
+    sharded path, where the broadcast intermediate would be (3, N, N)).
     """
     import math
 
     beta = 2.0 * noise_bound * math.sqrt(cbar2)
 
-    def pdist(v):
-        sq = jnp.sum(v * v, axis=-2)
-        gram = jnp.einsum("...dn,...dm->...nm", v, v)
-        d2 = sq[..., :, None] + sq[..., None, :] - 2.0 * gram
-        return jnp.sqrt(jnp.maximum(d2, 0.0))
+    if use_matmul:
+
+        def pdist(v):
+            sq = jnp.sum(v * v, axis=-2)
+            gram = jnp.einsum("...dn,...dm->...nm", v, v)
+            d2 = sq[..., :, None] + sq[..., None, :] - 2.0 * gram
+            return jnp.sqrt(jnp.maximum(d2, 0.0))
+
+    else:
+
+        def pdist(v):
+            diff = v[..., :, :, None] - v[..., :, None, :]  # (..., 3, N, N)
+            return jnp.sqrt(jnp.sum(diff * diff, axis=-3))
 
     ds = pdist(src)
     dd = pdist(dst)
