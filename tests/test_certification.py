@@ -235,3 +235,47 @@ def test_certify_batch_matches_single(rng):
         assert abs(
             batched[b].best_suboptimality - single.best_suboptimality
         ) < 1e-9
+
+
+LARGE_CASES_DIR = os.path.join(REFERENCE_DATA, "certification_large_instances")
+LARGE_CASES = (
+    sorted(os.listdir(LARGE_CASES_DIR)) if os.path.isdir(LARGE_CASES_DIR) else []
+)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(LARGE_CASES_DIR), reason="reference golden data not mounted"
+)
+@pytest.mark.parametrize("case", LARGE_CASES)
+def test_full_certification_trajectory_large(case):
+    """N=100 instances (reference certification-test.cc LargeInstance suite,
+    exercised there with the SPECTRA eigensolver): full golden trajectory at
+    1e-7. Our gap solver is the same code path at every N (XLA eigh /
+    LOBPCG), so this doubles as the Spectra-parity check."""
+    d = os.path.join(LARGE_CASES_DIR, case)
+
+    def csv(name):
+        return np.loadtxt(os.path.join(d, name), delimiter=",", ndmin=2)
+
+    pars = {}
+    with open(os.path.join(d, "parameters.txt")) as f:
+        for line in f:
+            k, v = line.strip().split(":")
+            pars[k.strip()] = float(v)
+    params = DRSCertifierParams(
+        noise_bound=pars["noise_bound"],
+        cbar2=pars["cbar2"],
+        max_iterations=int(pars.get("max_iterations", 200)),
+    )
+    certifier = DRSCertifier(params)
+    result = certifier.certify(
+        csv("R_est.csv"), csv("v1.csv"), csv("v2.csv"),
+        csv("theta_est.csv").reshape(-1),
+    )
+    ref_traj = csv("suboptimality_traj.csv").reshape(-1)
+    assert len(result.suboptimality_traj) == len(ref_traj)
+    assert np.abs(np.asarray(result.suboptimality_traj) - ref_traj).max() < TOL
+    # case_1 certifies; case_2's golden trajectory plateaus at ~7.6e-3, above
+    # the optimality threshold — the reference compares trajectories, not an
+    # is_optimal flag, for these instances (certification-test.cc:513-524)
+    assert abs(result.best_suboptimality - ref_traj.min()) < TOL
