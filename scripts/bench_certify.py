@@ -7,10 +7,13 @@ the (4N+4)^2 eigh PSD projection, batched over B.
     python scripts/bench_certify.py [B] [N]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

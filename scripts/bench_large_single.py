@@ -9,10 +9,13 @@ over a mesh for larger N / more chips.
     python scripts/bench_large_single.py [N]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -50,24 +50,30 @@ def pack_bits_u32_rows(mask: jnp.ndarray) -> jnp.ndarray:
     if pad:
         zeros = jnp.zeros(mask.shape[:-2] + (pad,) + mask.shape[-1:], mask.dtype)
         mask = jnp.concatenate([mask, zeros], axis=-2)
-    bits = mask.astype(jnp.uint32).reshape(*mask.shape[:-2], w, 32, mask.shape[-1])
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[:, None]
-    return jnp.sum(bits * weights, axis=-2, dtype=jnp.uint32)
+    bits = mask.reshape(*mask.shape[:-2], w, 32, mask.shape[-1])
+    if int(np.prod(mask.shape[-2:])) <= (1 << 26):
+        # small: one fused weighted reduce (fastest — measured on the
+        # batched bunny pipeline)
+        weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[:, None]
+        return jnp.sum(bits.astype(jnp.uint32) * weights, axis=-2,
+                       dtype=jnp.uint32)
+    # large: OR-accumulate one bit plane at a time — peak extra memory is one
+    # (..., W, M) u32 buffer instead of the (..., W, 32, M) u32 cast (32x the
+    # packed size; at N=50K that intermediate alone is 10 GB)
+    acc = bits[..., :, 0, :].astype(jnp.uint32)
+    for b in range(1, 32):
+        acc = acc | (bits[..., :, b, :].astype(jnp.uint32) << jnp.uint32(b))
+    return acc
 
 
-def core_numbers_bitset(
-    adj: jnp.ndarray, valid: Optional[jnp.ndarray] = None
+def core_numbers_from_bits(
+    adj_bits: jnp.ndarray, n: int, valid: Optional[jnp.ndarray] = None
 ) -> jnp.ndarray:
-    """Core numbers via a row-packed bitset + popcount degrees.
+    """Core numbers from a row-packed (W, N) uint32 adjacency bitset.
 
-    Same batch-peeling recurrence as :func:`core_numbers_matvec`, but the
-    adjacency lives as packed uint32 words so each peel round streams N*N/8
-    bytes instead of N*N. The packing is over the ROW axis (adjacency is
-    symmetric), keeping the N vertex columns in the lane dimension:
-    ``deg[j] = sum_w popcount(adj_bits[w, j] & active_bits[w])``.
+    ``deg[j] = sum_w popcount(adj_bits[w, j] & active_bits[w])`` per peel
+    round; see :func:`core_numbers_bitset` for the packing contract.
     """
-    n = adj.shape[-1]
-    adj_bits = pack_bits_u32_rows(adj)  # (W, N)
     active0 = (
         jnp.ones((n,), bool) if valid is None else jnp.asarray(valid).astype(bool)
     )
@@ -97,6 +103,21 @@ def core_numbers_bitset(
         cond, body, (active0, core0, jnp.asarray(0, jnp.int32))
     )
     return core
+
+
+def core_numbers_bitset(
+    adj: jnp.ndarray, valid: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """Core numbers via a row-packed bitset + popcount degrees.
+
+    Same batch-peeling recurrence as :func:`core_numbers_matvec`, but the
+    adjacency lives as packed uint32 words so each peel round streams N*N/8
+    bytes instead of N*N. The packing is over the ROW axis (adjacency is
+    symmetric), keeping the N vertex columns in the lane dimension.
+    """
+    n = adj.shape[-1]
+    adj_bits = pack_bits_u32_rows(adj)  # (W, N)
+    return core_numbers_from_bits(adj_bits, n, valid)
 
 
 def core_numbers(

@@ -18,6 +18,7 @@ import functools
 from typing import Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -123,6 +124,64 @@ def trim_adjacency_dense(
     return adj
 
 
+def trim_adjacency_bits(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    noise_bound: float,
+    cbar2: float = 1.0,
+    block: int = 2048,
+) -> jnp.ndarray:
+    """Row-blocked TRIM adjacency, emitted directly as a row-packed bitset.
+
+    Same predicate as :func:`trim_adjacency_dense`, but computed one
+    ``block``-row stripe at a time and bit-packed on the spot, so the peak
+    intermediate is O(block * N) instead of O(N^2) floats — at N=50K the
+    dense path's two f32 distance fields alone are 20 GB, while this stays
+    under ~1 GB. Output is (ceil(N/32), N) uint32 in the row-packed layout
+    of :func:`teaserpp_tpu.clique.kcore.pack_bits_u32_rows`, consumable by
+    ``core_numbers_from_bits``.
+    """
+    import math
+
+    from teaserpp_tpu.clique.kcore import pack_bits_u32_rows
+
+    beta = 2.0 * noise_bound * math.sqrt(cbar2)
+    n = src.shape[-1]
+    block = max(32, min(block, _round_up_multiple(n, 32)))
+    block = _round_up_multiple(block, 32)
+    n_rows = _round_up_multiple(n, block)
+    col_idx = jnp.arange(n, dtype=jnp.int32)
+
+    src_p = jnp.pad(src.astype(jnp.float32), ((0, 0), (0, n_rows - n)))
+    dst_p = jnp.pad(dst.astype(jnp.float32), ((0, 0), (0, n_rows - n)))
+
+    def one_block(i0):
+        zero = jnp.zeros((), i0.dtype)
+        rows_s = jax.lax.dynamic_slice(src_p, (zero, i0), (3, block))  # (3, B)
+        rows_d = jax.lax.dynamic_slice(dst_p, (zero, i0), (3, block))
+
+        def pd(rows, full):
+            diff = rows[:, :, None] - full[:, None, :]  # (3, B, N)
+            return jnp.sqrt(jnp.sum(diff * diff, axis=0))
+
+        ds = pd(rows_s, src.astype(jnp.float32))
+        dd = pd(rows_d, dst.astype(jnp.float32))
+        row_idx = i0 + jnp.arange(block, dtype=jnp.int32)
+        blk = (jnp.abs(ds - dd) <= beta)
+        blk = blk & (row_idx[:, None] != col_idx[None, :])
+        blk = blk & (row_idx[:, None] < n)
+        return pack_bits_u32_rows(blk)  # (B/32, N)
+
+    starts = jnp.arange(0, n_rows, block, dtype=jnp.int32)
+    bits = jax.lax.map(one_block, starts)  # (nb, B/32, N)
+    w = (n + 31) // 32
+    return bits.reshape(n_rows // 32, n)[:w]
+
+
+def _round_up_multiple(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def chain_tims(
     v: jnp.ndarray, clique_mask: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -142,8 +201,6 @@ def chain_tims(
     Returns:
       (tims (3, N), tim_valid (N,) bool).
     """
-    import jax
-
     n = clique_mask.shape[-1]
     idx = jnp.arange(n, dtype=jnp.int32)
     big = jnp.asarray(2 * n, jnp.int32)

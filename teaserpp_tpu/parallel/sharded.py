@@ -33,8 +33,9 @@ from teaserpp_tpu.solvers.pipeline import (
     PipelineSolution,
     rotation_translation_stage,
 )
-from teaserpp_tpu.clique.kcore import core_numbers
+from teaserpp_tpu.clique.kcore import core_numbers, core_numbers_from_bits
 from teaserpp_tpu.clique.heuristic import heuristic_max_clique
+from teaserpp_tpu.ops.tims import trim_adjacency_bits
 
 
 # Re-exported from ops.tims (shared with the fused pipeline); kept here for
@@ -58,11 +59,19 @@ def _large_registration_impl(
     pairs_sharding,
 ) -> LargeSolveResult:
     n = src.shape[-1]
-    adj = trim_adjacency_dense(src, dst, params.noise_bound, params.cbar2)
-    if pairs_sharding is not None:
-        adj = jax.lax.with_sharding_constraint(adj, pairs_sharding)
-
-    core = core_numbers(adj)  # sharded matvec rounds + all-reduce min/max
+    if n > 16384:
+        # Huge N: row-blocked adjacency emitted straight into the packed
+        # bitset — the dense path's two N^2 f32 distance fields (20 GB at
+        # N=50K) never exist. Columns (lane dim) shard over ``pairs``.
+        adj_bits = trim_adjacency_bits(src, dst, params.noise_bound, params.cbar2)
+        if pairs_sharding is not None:
+            adj_bits = jax.lax.with_sharding_constraint(adj_bits, pairs_sharding)
+        core = core_numbers_from_bits(adj_bits, n)
+    else:
+        adj = trim_adjacency_dense(src, dst, params.noise_bound, params.cbar2)
+        if pairs_sharding is not None:
+            adj = jax.lax.with_sharding_constraint(adj, pairs_sharding)
+        core = core_numbers(adj)  # sharded rounds + all-reduce min/max
     max_core = jnp.max(core)
 
     # Reduce to the densest subgraph: top-`subgraph_size` vertices by core
@@ -71,7 +80,14 @@ def _large_registration_impl(
     # outside the top cores at that threshold). We take a generous static cap.
     m = min(subgraph_size, n)
     _, top_idx = jax.lax.top_k(core, m)
-    sub_adj = adj[top_idx[:, None], top_idx[None, :]]  # gathers -> replicated
+    # Re-derive the subgraph adjacency from the gathered POINTS rather than
+    # gathering an (m, m) block out of the big matrix: identical by
+    # construction (same TRIM formula on the same coordinates), and it lets
+    # XLA free the O(N^2) adjacency right after the bit-packing — at N=50K
+    # that plus the packed-only peel keeps the program under HBM.
+    sub_adj = trim_adjacency_dense(
+        src[..., :, top_idx], dst[..., :, top_idx], params.noise_bound, params.cbar2
+    )
     heu = heuristic_max_clique(sub_adj, num_seeds=params.max_clique_heuristic_seeds)
 
     clique_mask = jnp.zeros((n,), bool).at[top_idx].set(heu.mask)

@@ -77,7 +77,41 @@ class RobustRegistrationSolver:
             params = RobustRegistrationSolverParams(**kw)
         elif kw:
             params = params.replace(**kw)
+        # Pluggable stage estimators (reference setScale/Rotation/
+        # TranslationEstimator, registration.h:623-644). None = the built-in
+        # jitted stage. These survive reset(), like the reference's member
+        # solver objects survive solve().
+        self._scale_estimator = None
+        self._rotation_estimator = None
+        self._translation_estimator = None
         self.reset(params)
+
+    # ------------------------------------------------- pluggable estimators
+    def setScaleEstimator(self, estimator) -> None:
+        """Replace the scale stage (reference registration.h:623-629).
+
+        ``estimator(src_tims (3, K), dst_tims (3, K)) -> (scale: float,
+        pair_inliers: (K,) bool)`` over the upper-triangle TIM pair order of
+        :meth:`getScaleInliersMap`. Pass ``None`` to restore the built-in.
+        """
+        self._scale_estimator = estimator
+
+    def setRotationEstimator(self, estimator) -> None:
+        """Replace the rotation stage (reference registration.h:631-638).
+
+        ``estimator(src_tims (3, M), dst_tims (3, M)) -> (rotation (3, 3),
+        inliers (M,) bool, cost: float)``; ``dst_tims`` arrive de-scaled by
+        the scale estimate, as in the reference (registration.cc:697-704).
+        """
+        self._rotation_estimator = estimator
+
+    def setTranslationEstimator(self, estimator) -> None:
+        """Replace the translation stage (reference registration.h:640-644).
+
+        ``estimator(src (3, M), dst (3, M)) -> (translation (3,),
+        inliers (M,) bool)`` on the scale*R-aligned clique points.
+        """
+        self._translation_estimator = estimator
 
     # ------------------------------------------------------------------ reset
     def reset(self, params: RobustRegistrationSolverParams) -> None:
@@ -139,15 +173,24 @@ class RobustRegistrationSolver:
 
         # ---- scale stage (TIM norms + TLS scale / TRIM selector)
         with self._timer.stage("scale"):
-            sc = _scale_stage_jit(src_d, dst_d, params)
-            scale = float(sc.scale)
-        self._scale_pair_mask = np.asarray(sc.pair_mask)
+            if self._scale_estimator is not None:
+                scale, pair_mask = self._scale_estimator(
+                    self.getSrcTIMs(), self.getDstTIMs()
+                )
+                scale = float(scale)
+                self._scale_pair_mask = np.asarray(pair_mask, bool)
+                pair_mask_d = jnp.asarray(self._scale_pair_mask)
+            else:
+                sc = _scale_stage_jit(src_d, dst_d, params)
+                scale = float(sc.scale)
+                self._scale_pair_mask = np.asarray(sc.pair_mask)
+                pair_mask_d = sc.pair_mask
         self._solution.scale = scale
 
         # ---- clique stage
         if mode != InlierSelectionMode.NONE:
             with self._timer.stage("clique"):
-                adj = np.asarray(adjacency_from_pair_mask(sc.pair_mask, n))
+                adj = np.asarray(adjacency_from_pair_mask(pair_mask_d, n))
                 self._inlier_graph = Graph(adj)
                 clique_params = MaxCliqueSolverParams(
                     solver_mode=CliqueSolverMode(
@@ -177,6 +220,10 @@ class RobustRegistrationSolver:
         # ---- rotation + translation stage
         rt_ctx = self._timer.stage("rotation_translation")
         rt_ctx.__enter__()
+        if self._rotation_estimator is not None or self._translation_estimator is not None:
+            self._solve_rt_custom(src, dst, scale, clique, params)
+            rt_ctx.__exit__(None, None, None)
+            return self._solution
         if params.rotation_tim_graph == InlierGraphFormulation.CHAIN:
             clique_mask = np.zeros(n, bool)
             clique_mask[clique] = True
@@ -236,6 +283,74 @@ class RobustRegistrationSolver:
         self._solution.translation = np.asarray(sol.translation, np.float64)
         rt_ctx.__exit__(None, None, None)
         return self._solution
+
+    def _solve_rt_custom(self, src, dst, scale, clique, params) -> None:
+        """Rotation+translation with user-plugged estimators.
+
+        Mirrors the built-in path (reference registration.cc:657-731):
+        pruned TIMs per the TIM-graph formulation, dst TIMs de-scaled, custom
+        or default solvers per stage, masks stored for the getters.
+        """
+        if params.rotation_tim_graph == InlierGraphFormulation.CHAIN:
+            leaf = np.roll(clique, -1)
+            src_tims_p = src[:, leaf] - src[:, clique]
+            dst_tims_p = (dst[:, leaf] - dst[:, clique]) / scale
+            self._tims_map_rotation = np.stack([leaf, clique]).astype(np.int32)
+        else:
+            ci, cj = upper_tri_indices(len(clique))
+            sel, sel_dst = src[:, clique], dst[:, clique]
+            src_tims_p = sel[:, cj] - sel[:, ci]
+            dst_tims_p = (sel_dst[:, cj] - sel_dst[:, ci]) / scale
+            self._tims_map_rotation = np.stack(
+                [clique[cj], clique[ci]]
+            ).astype(np.int32)
+        self._pruned_src_tims = src_tims_p.astype(np.float64)
+        self._pruned_dst_tims = dst_tims_p.astype(np.float64)
+
+        dtype = _default_dtype()
+        nb_rot = params.noise_bound * 2.0 / scale
+        if self._rotation_estimator is not None:
+            r, rot_inliers, cost = self._rotation_estimator(src_tims_p, dst_tims_p)
+        else:
+            from teaserpp_tpu.solvers.rotation import (
+                solve_rotation_fgr,
+                solve_rotation_gnc_tls,
+                solve_rotation_quatro,
+            )
+            from teaserpp_tpu.params import RotationEstimationAlgorithm as _RA
+
+            fn = {
+                _RA.GNC_TLS: solve_rotation_gnc_tls,
+                _RA.FGR: solve_rotation_fgr,
+                _RA.QUATRO: solve_rotation_quatro,
+            }[params.rotation_estimation_algorithm]
+            rr = fn(
+                jnp.asarray(src_tims_p, dtype), jnp.asarray(dst_tims_p, dtype),
+                nb_rot,
+                gnc_factor=params.rotation_gnc_factor,
+                max_iterations=params.rotation_max_iterations,
+                cost_threshold=params.rotation_cost_threshold,
+            )
+            r, rot_inliers, cost = rr.rotation, rr.inliers, rr.cost
+        r = np.asarray(r, np.float64)
+        self._rotation_inliers_mask = np.asarray(rot_inliers, bool)
+        self._rotation_cost = float(cost)
+
+        aligned = scale * (r @ src[:, clique])
+        if self._translation_estimator is not None:
+            t, trans_inliers = self._translation_estimator(aligned, dst[:, clique])
+        else:
+            from teaserpp_tpu.solvers.translation import solve_translation_tls
+
+            tr = solve_translation_tls(
+                jnp.asarray(aligned, dtype), jnp.asarray(dst[:, clique], dtype),
+                params.noise_bound, params.cbar2,
+            )
+            t, trans_inliers = tr.translation, tr.inliers
+        self._translation_inliers_mask = np.asarray(trans_inliers, bool)
+        self._solution.valid = True
+        self._solution.rotation = r
+        self._solution.translation = np.asarray(t, np.float64)
 
     def getStageTimings(self) -> dict:
         """Wall-clock seconds per stage of the last solve (always collected;

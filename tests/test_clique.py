@@ -115,3 +115,31 @@ def test_empty_and_trivial_graphs():
     g2 = Graph.from_edges(3, [])  # no edges: best clique is a single vertex
     res = MaxCliqueSolver().findMaxClique(g2)
     assert len(res) <= 1
+
+
+def test_trim_adjacency_bits_matches_dense(rng):
+    """Row-blocked packed adjacency == pack(dense adjacency), odd N/blocks."""
+    import jax.numpy as jnp
+    from teaserpp_tpu.ops.tims import trim_adjacency_bits, trim_adjacency_dense
+    from teaserpp_tpu.clique.kcore import (
+        core_numbers_from_bits,
+        core_numbers,
+        pack_bits_u32_rows,
+    )
+
+    n = 203  # not a multiple of 32 or the block size
+    src = rng.uniform(-1, 1, size=(3, n))
+    dst = src.copy()
+    out = rng.choice(n, size=150, replace=False)
+    dst[:, out] = rng.uniform(-2, 2, size=(3, 150))
+    nb = 0.05
+
+    dense = trim_adjacency_dense(jnp.asarray(src), jnp.asarray(dst), nb)
+    ref_bits = pack_bits_u32_rows(dense)
+    bits = trim_adjacency_bits(jnp.asarray(src), jnp.asarray(dst), nb, block=64)
+    assert bits.shape == ref_bits.shape
+    assert np.array_equal(np.asarray(bits), np.asarray(ref_bits))
+
+    core_a = np.asarray(core_numbers(dense))
+    core_b = np.asarray(core_numbers_from_bits(bits, n))
+    assert np.array_equal(core_a, core_b)
