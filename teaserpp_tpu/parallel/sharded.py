@@ -117,6 +117,12 @@ def solve_large_sharded(
 
     ``src``/``dst`` are (3, N) with N typically 10K-100K; the adjacency and
     k-core stages run row-sharded over the ``pairs_axis`` devices.
+
+    ``subgraph_size`` caps the clique candidate set: when the true inlier set
+    is larger (e.g. 5000 inliers at N=50K), the clique is truncated to the
+    top ``subgraph_size`` core vertices — GNC only needs a clean subset, so
+    accuracy is unaffected (measured 0.000 deg at N=50K), but raise it if the
+    full inlier list itself is wanted.
     """
     sharding = NamedSharding(mesh, P(pairs_axis, None))
     replicated = NamedSharding(mesh, P())
