@@ -111,8 +111,16 @@ def trim_adjacency_dense(
     else:
 
         def pdist(v):
-            diff = v[..., :, :, None] - v[..., :, None, :]  # (..., 3, N, N)
-            return jnp.sqrt(jnp.sum(diff * diff, axis=-3))
+            # unrolled per-axis form: no reduce op anywhere, so XLA keeps the
+            # whole chain (distances -> compare -> mask consumers) in ONE
+            # elementwise fusion — a sum(axis) reduce would materialize each
+            # N x N distance field in HBM (the N=50K OOM came from exactly
+            # that: two f32 fields = 20 GB)
+            x, y, z = v[..., 0, :], v[..., 1, :], v[..., 2, :]
+            dx = x[..., :, None] - x[..., None, :]
+            dy = y[..., :, None] - y[..., None, :]
+            dz = z[..., :, None] - z[..., None, :]
+            return jnp.sqrt(dx * dx + dy * dy + dz * dz)
 
     ds = pdist(src)
     dd = pdist(dst)
@@ -161,8 +169,11 @@ def trim_adjacency_bits(
         rows_d = jax.lax.dynamic_slice(dst_p, (zero, i0), (3, block))
 
         def pd(rows, full):
-            diff = rows[:, :, None] - full[:, None, :]  # (3, B, N)
-            return jnp.sqrt(jnp.sum(diff * diff, axis=0))
+            # per-axis elementwise (no reduce) so the stripe fuses end to end
+            dx = rows[0, :, None] - full[0, None, :]
+            dy = rows[1, :, None] - full[1, None, :]
+            dz = rows[2, :, None] - full[2, None, :]
+            return jnp.sqrt(dx * dx + dy * dy + dz * dz)
 
         ds = pd(rows_s, src.astype(jnp.float32))
         dd = pd(rows_d, dst.astype(jnp.float32))

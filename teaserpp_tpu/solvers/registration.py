@@ -28,6 +28,7 @@ from teaserpp_tpu.params import (
 from teaserpp_tpu.ops.tims import compute_tims, upper_tri_indices
 from teaserpp_tpu.solvers import pipeline as _pipe
 from teaserpp_tpu.clique.graph import Graph, MaxCliqueSolver, adjacency_from_pair_mask
+from teaserpp_tpu.utils.diagnostics import debug_error_msg
 
 
 @dataclasses.dataclass
@@ -209,7 +210,11 @@ class RobustRegistrationSolver:
                     MaxCliqueSolver(clique_params).findMaxClique(self._inlier_graph)
                 )
             if len(self._max_clique) <= 1:
-                # Degenerate clique: abort (reference registration.cc:643-647).
+                # Degenerate clique: abort (reference registration.cc:643-647,
+                # which logs the same diagnostic before returning).
+                debug_error_msg(
+                    "Clique size too small. Abort and return an invalid solution."
+                )
                 self._solution.valid = False
                 return self._solution
         else:

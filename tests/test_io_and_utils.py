@@ -87,3 +87,21 @@ def test_helper_parity(rng):
     assert mask_vector([True, False, True], ["a", "b", "c"]) == ["a", "c"]
     sample = random_sample(list(range(100)), 10, rng)
     assert len(sample) == len(set(sample)) == 10
+
+
+def test_diagnostics_macros_analog(caplog):
+    """Reference macros.h logging analog: levels + throttling."""
+    import logging
+    from teaserpp_tpu.utils import diagnostics as diag
+
+    with caplog.at_level(logging.INFO, logger="teaserpp_tpu"):
+        diag.info_msg("hello")
+        for _ in range(5):
+            diag.info_msg_throttle("beat", skip=2, key="t1")
+    infos = [r.message for r in caplog.records if r.levelno == logging.INFO]
+    assert infos.count("hello") == 1
+    assert infos.count("beat") == 3  # calls 0, 2, 4
+
+    with caplog.at_level(logging.ERROR, logger="teaserpp_tpu"):
+        diag.debug_error_msg("boom")
+    assert any(r.message == "boom" for r in caplog.records)
