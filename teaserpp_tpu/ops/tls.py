@@ -84,10 +84,18 @@ def scalar_tls(
     d_sx = sign * ev(x * vmask)
     d_sx2 = sign * ev(x * x * vmask)
 
-    order = jnp.argsort(vals, axis=-1)
+    # One multi-operand sort carries every event stream through the
+    # permutation — on TPU this replaces an argsort plus six random-access
+    # gathers (the gathers dominate the sweep's cost there).
+    _, d_card, d_w, d_xw, d_rng, d_sx, d_sx2 = jax.lax.sort(
+        (vals, d_card, d_w, d_xw, d_rng, d_sx, d_sx2),
+        dimension=vals.ndim - 1,
+        num_keys=1,
+        is_stable=False,
+    )
 
     def pfx(d):
-        return jnp.cumsum(jnp.take_along_axis(d, order, axis=-1), axis=-1)
+        return jnp.cumsum(d, axis=-1)
 
     card = pfx(d_card)
     cum_w = pfx(d_w)

@@ -126,6 +126,12 @@ class RobustRegistrationSolverParams:
     max_clique_num_threads: int = 0
     # Seeds for the on-device heuristic clique search (ours; no reference field).
     max_clique_heuristic_seeds: int = 64
+    # Final joint weighted-Procrustes re-fit of (R, t) on the translation-
+    # inlier points (ours; no reference field). Statistically tighter than
+    # the chain-TIM estimate at small inlier counts (e.g. 95%+ outlier
+    # rates); off by default so solutions stay bit-comparable with the
+    # reference's MATLAB estimates in the golden-parity tests.
+    final_polish: bool = False
 
     def replace(self, **kw) -> "RobustRegistrationSolverParams":
         return dataclasses.replace(self, **kw)

@@ -159,6 +159,30 @@ def device_clique_stage(
     return device_clique_from_adjacency(adj, params, valid)
 
 
+def _polish_rt(src, dst, scale, rotation, translation, inlier_mask):
+    """Joint weighted-Procrustes re-fit of (R, t) on the final inlier points.
+
+    ``dst = s R src + t`` with s fixed to the scale estimate. At small inlier
+    counts this reaches the statistical floor the chain-TIM GNC estimate
+    can't (TIM differencing doubles the effective noise); no reference
+    analog. Falls back to the inputs when fewer than 3 inliers survive.
+    """
+    from teaserpp_tpu.ops.procrustes import svd_rot
+
+    w = inlier_mask.astype(src.dtype)
+    nw = jnp.sum(w)
+    safe_nw = jnp.maximum(nw, 1.0)
+    cs = jnp.sum(src * w, axis=-1) / safe_nw
+    cd = jnp.sum(dst * w, axis=-1) / safe_nw
+    r_pol = svd_rot(src - cs[:, None], dst - cd[:, None], w)
+    t_pol = cd - scale * (r_pol @ cs)
+    ok = nw >= 3
+    return (
+        jnp.where(ok, r_pol, rotation),
+        jnp.where(ok, t_pol, translation),
+    )
+
+
 def rotation_translation_stage(
     src: jnp.ndarray,
     dst: jnp.ndarray,
@@ -204,12 +228,19 @@ def rotation_translation_stage(
         aligned_src, dst, params.noise_bound, params.cbar2, valid=clique_mask
     )
 
+    rotation, translation = rot.rotation, trans.translation
+    if params.final_polish:
+        rotation, translation = _polish_rt(
+            src, dst, scale, rotation, translation,
+            trans.inliers & clique_mask,
+        )
+
     clique_size = jnp.sum(clique_mask)
     return PipelineSolution(
         valid=clique_size > 1,  # reference registration.cc:643-647
         scale=jnp.asarray(scale, dtype),
-        rotation=rot.rotation,
-        translation=trans.translation,
+        rotation=rotation,
+        translation=translation,
         scale_pair_mask=jnp.zeros((0,), bool),  # filled by register_pair
         clique_mask=clique_mask,
         rotation_inlier_mask=rot.inliers,
@@ -261,12 +292,19 @@ def rotation_translation_complete(
         aligned_src, dst_sel, params.noise_bound, params.cbar2, valid=point_valid
     )
 
+    rotation, translation = rot.rotation, trans.translation
+    if params.final_polish:
+        rotation, translation = _polish_rt(
+            src_sel, dst_sel, scale, rotation, translation,
+            trans.inliers & point_valid,
+        )
+
     clique_size = jnp.sum(point_valid)
     return PipelineSolution(
         valid=clique_size > 1,
         scale=jnp.asarray(scale, src_sel.dtype),
-        rotation=rot.rotation,
-        translation=trans.translation,
+        rotation=rotation,
+        translation=translation,
         scale_pair_mask=jnp.zeros((0,), bool),
         clique_mask=point_valid,
         rotation_inlier_mask=rot.inliers,  # (M(M-1)/2,) over clique pair order

@@ -202,3 +202,39 @@ def test_degenerate_all_outliers(rng):
     )
     sol = RobustRegistrationSolver(params).solve(src, dst)
     assert not sol.valid
+
+
+def test_final_polish_improves_small_inlier_accuracy(rng):
+    """final_polish re-fits (R, t) on the inlier points: at tiny inlier
+    counts it must be at least as accurate as the chain-TIM estimate
+    and must not disturb clean large-inlier solves."""
+    import jax.numpy as jnp
+    from teaserpp_tpu.solvers.pipeline import register_pair
+    from teaserpp_tpu.utils.metrics import rotation_error_deg
+    from tests.conftest import make_registration_problem
+
+    errs = {True: [], False: []}
+    for seed in range(6):
+        r2 = np.random.default_rng(500 + seed)
+        src, dst, s, r_true, t_true, _ = make_registration_problem(
+            r2, n=400, outlier_ratio=0.95, noise=0.002, translation_scale=0.3
+        )
+        for polish in (False, True):
+            params = RobustRegistrationSolverParams(
+                noise_bound=0.004,
+                estimate_scaling=False,
+                inlier_selection_mode=InlierSelectionMode.KCORE_HEU,
+                kcore_heuristic_threshold=0.0,
+                final_polish=polish,
+            )
+            sol = register_pair(
+                jnp.asarray(src, jnp.float32), jnp.asarray(dst, jnp.float32), params
+            )
+            errs[polish].append(
+                rotation_error_deg(np.asarray(sol.rotation, np.float64), r_true)
+            )
+            if polish:
+                assert np.linalg.norm(
+                    np.asarray(sol.translation, np.float64) - t_true
+                ) < 0.01
+    assert np.mean(errs[True]) <= np.mean(errs[False]) * 1.05
