@@ -57,9 +57,10 @@ def _large_registration_impl(
     params: RobustRegistrationSolverParams,
     subgraph_size: int,
     pairs_sharding,
+    blocked_threshold: int = 16384,
 ) -> LargeSolveResult:
     n = src.shape[-1]
-    if n > 16384:
+    if n > blocked_threshold:
         # Huge N: row-blocked adjacency emitted straight into the packed
         # bitset — the dense path's two N^2 f32 distance fields (20 GB at
         # N=50K) never exist. Columns (lane dim) shard over ``pairs``.
@@ -99,10 +100,15 @@ def _large_registration_impl(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "subgraph_size", "pairs_sharding")
+    jax.jit,
+    static_argnames=("params", "subgraph_size", "pairs_sharding", "blocked_threshold"),
 )
-def _large_registration_jit(src, dst, params, subgraph_size, pairs_sharding):
-    return _large_registration_impl(src, dst, params, subgraph_size, pairs_sharding)
+def _large_registration_jit(
+    src, dst, params, subgraph_size, pairs_sharding, blocked_threshold=16384
+):
+    return _large_registration_impl(
+        src, dst, params, subgraph_size, pairs_sharding, blocked_threshold
+    )
 
 
 def solve_large_sharded(
@@ -112,6 +118,7 @@ def solve_large_sharded(
     mesh: Mesh,
     pairs_axis: str = "pairs",
     subgraph_size: int = 2048,
+    blocked_threshold: int = 16384,
 ) -> LargeSolveResult:
     """Known-scale registration with the O(N^2) structure sharded over ``mesh``.
 
@@ -128,4 +135,6 @@ def solve_large_sharded(
     replicated = NamedSharding(mesh, P())
     src = jax.device_put(jnp.asarray(src), replicated)
     dst = jax.device_put(jnp.asarray(dst), replicated)
-    return _large_registration_jit(src, dst, params, subgraph_size, sharding)
+    return _large_registration_jit(
+        src, dst, params, subgraph_size, sharding, blocked_threshold
+    )

@@ -125,3 +125,35 @@ def test_graft_entry_and_multichip():
     jax.block_until_ready(out)
     assert out[0].shape == (3, 3)
     g.dryrun_multichip(8)
+
+
+def test_large_sharded_blocked_bits_path_on_mesh(rng):
+    """The row-blocked bitset pipeline (huge-N path) under an 8-device mesh:
+    must match the dense path's solution on the same problem."""
+    import jax
+    from jax.sharding import Mesh
+    from teaserpp_tpu.parallel.sharded import solve_large_sharded
+
+    n = 512
+    src, dst, s, r_true, t_true, _ = make_registration_problem(
+        rng, n=n, outlier_ratio=0.8, noise=0.005
+    )
+    params = RobustRegistrationSolverParams(
+        noise_bound=0.01,
+        estimate_scaling=False,
+        inlier_selection_mode=InlierSelectionMode.KCORE_HEU,
+        kcore_heuristic_threshold=0.0,
+    )
+    mesh = Mesh(np.array(jax.devices()), ("pairs",))
+    dense = solve_large_sharded(src, dst, params, mesh, subgraph_size=256)
+    blocked = solve_large_sharded(
+        src, dst, params, mesh, subgraph_size=256, blocked_threshold=64
+    )
+    assert int(blocked.max_core) == int(dense.max_core)
+    np.testing.assert_allclose(
+        np.asarray(blocked.solution.rotation),
+        np.asarray(dense.solution.rotation),
+        atol=1e-5,
+    )
+    cos = (np.trace(r_true.T @ np.asarray(blocked.solution.rotation, np.float64)) - 1) / 2
+    assert np.degrees(np.arccos(np.clip(cos, -1, 1))) < 0.5
