@@ -105,6 +105,73 @@ def core_numbers_from_bits(
     return core
 
 
+def max_core_from_bits(
+    adj_bits: jnp.ndarray, n: int, valid: Optional[jnp.ndarray] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Maximum k-core mask + max core number, by binary search over k.
+
+    :func:`core_numbers_from_bits` peels one degeneracy level per round —
+    at N=100K that is ~600 sequential passes over the bitset. When only the
+    TOP core is wanted (the KCORE_HEU threshold-0 selector), binary search
+    needs ~log2(max_degree) probes, each a bulk-removal fixpoint that
+    converges in a handful of rounds, and every successful probe shrinks the
+    active set for all later probes (the k-core is contained in every
+    k'-core with k' < k). ~40x fewer passes at N=100K.
+
+    Returns (mask (N,) bool of the max-core vertices, max_core int32).
+    """
+    active0 = (
+        jnp.ones((n,), bool) if valid is None else jnp.asarray(valid).astype(bool)
+    )
+
+    def degrees(active):
+        act_bits = pack_bits_u32(active)
+        live = adj_bits & act_bits[..., :, None]
+        return jnp.sum(jax.lax.population_count(live), axis=-2).astype(jnp.int32)
+
+    def fixpoint(k, active):
+        """Remove active vertices with active-degree < k until stable."""
+
+        def cond(state):
+            active, changed = state
+            del active
+            return changed
+
+        def body(state):
+            active, _ = state
+            deg = degrees(active)
+            keep = active & (deg >= k)
+            changed = jnp.any(keep != active)
+            return keep, changed
+
+        out, _ = jax.lax.while_loop(cond, body, (active, jnp.asarray(True)))
+        return out
+
+    deg0 = degrees(active0)
+    hi0 = jnp.max(jnp.where(active0, deg0, 0))  # max_core <= max degree
+
+    def bs_cond(state):
+        lo, hi, base = state
+        del base
+        return lo < hi
+
+    def bs_body(state):
+        lo, hi, base = state
+        k = (lo + hi + 1) // 2
+        probe = fixpoint(k, base)
+        ok = jnp.any(probe)
+        lo = jnp.where(ok, k, lo)
+        hi = jnp.where(ok, hi, k - 1)
+        base = jnp.where(ok, probe, base)
+        return lo, hi, base
+
+    # lo = 0's fixpoint is active0 itself (degrees >= 0 always)
+    lo, _, base = jax.lax.while_loop(
+        bs_cond, bs_body, (jnp.asarray(0, jnp.int32), hi0, active0)
+    )
+    return base, lo
+
+
 def core_numbers_bitset(
     adj: jnp.ndarray, valid: Optional[jnp.ndarray] = None
 ) -> jnp.ndarray:

@@ -33,7 +33,11 @@ from teaserpp_tpu.solvers.pipeline import (
     PipelineSolution,
     rotation_translation_stage,
 )
-from teaserpp_tpu.clique.kcore import core_numbers, core_numbers_from_bits
+from teaserpp_tpu.clique.kcore import (
+    core_numbers,
+    max_core_from_bits,
+    pack_bits_u32,
+)
 from teaserpp_tpu.clique.heuristic import heuristic_max_clique
 from teaserpp_tpu.ops.tims import trim_adjacency_bits
 
@@ -64,23 +68,33 @@ def _large_registration_impl(
         # Huge N: row-blocked adjacency emitted straight into the packed
         # bitset — the dense path's two N^2 f32 distance fields (20 GB at
         # N=50K) never exist. Columns (lane dim) shard over ``pairs``.
+        # Only the TOP core is needed for candidate selection, so the
+        # level-by-level peel (one pass per degeneracy level, ~600 at
+        # N=100K) is replaced by the binary-search max-core (~40x fewer
+        # bitset passes); ranking falls back to degree for the tail slots.
         adj_bits = trim_adjacency_bits(src, dst, params.noise_bound, params.cbar2)
         if pairs_sharding is not None:
             adj_bits = jax.lax.with_sharding_constraint(adj_bits, pairs_sharding)
-        core = core_numbers_from_bits(adj_bits, n)
+        top_mask, max_core = max_core_from_bits(adj_bits, n)
+        act_bits = pack_bits_u32(jnp.ones((n,), bool))
+        deg0 = jnp.sum(
+            jax.lax.population_count(adj_bits & act_bits[:, None]), axis=-2
+        ).astype(jnp.int32)
+        score = jnp.where(top_mask, deg0 + n, deg0)
     else:
         adj = trim_adjacency_dense(src, dst, params.noise_bound, params.cbar2)
         if pairs_sharding is not None:
             adj = jax.lax.with_sharding_constraint(adj, pairs_sharding)
         core = core_numbers(adj)  # sharded rounds + all-reduce min/max
-    max_core = jnp.max(core)
+        max_core = jnp.max(core)
+        score = core
 
     # Reduce to the densest subgraph: top-`subgraph_size` vertices by core
     # number always contain the maximum clique when subgraph_size > max_core
     # (every max-clique vertex has core >= clique_size - 1 >= all vertices
     # outside the top cores at that threshold). We take a generous static cap.
     m = min(subgraph_size, n)
-    _, top_idx = jax.lax.top_k(core, m)
+    _, top_idx = jax.lax.top_k(score, m)
     # Re-derive the subgraph adjacency from the gathered POINTS rather than
     # gathering an (m, m) block out of the big matrix: identical by
     # construction (same TRIM formula on the same coordinates), and it lets

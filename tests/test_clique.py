@@ -143,3 +143,29 @@ def test_trim_adjacency_bits_matches_dense(rng):
     core_a = np.asarray(core_numbers(dense))
     core_b = np.asarray(core_numbers_from_bits(bits, n))
     assert np.array_equal(core_a, core_b)
+
+
+def test_max_core_binary_search_matches_peel(rng):
+    """Binary-search top-core == the peel's top core on random graphs."""
+    import jax.numpy as jnp
+    from teaserpp_tpu.clique.kcore import (
+        core_numbers_from_bits,
+        max_core_from_bits,
+        pack_bits_u32_rows,
+    )
+
+    for trial in range(6):
+        n = 97 + trial * 17
+        p = [0.02, 0.1, 0.3][trial % 3]
+        a = rng.uniform(size=(n, n)) < p
+        adj = np.triu(a, 1)
+        adj = adj | adj.T
+        # plant a clique
+        q = rng.choice(n, size=12, replace=False)
+        adj[np.ix_(q, q)] = True
+        np.fill_diagonal(adj, False)
+        bits = pack_bits_u32_rows(jnp.asarray(adj))
+        core = np.asarray(core_numbers_from_bits(bits, n))
+        mask, k = max_core_from_bits(bits, n)
+        assert int(k) == core.max()
+        assert np.array_equal(np.asarray(mask), core == core.max())
