@@ -53,6 +53,16 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.tpureg_max_clique_mt.restype = ctypes.c_int
+        lib.tpureg_max_clique_mt.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_double,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.tpureg_core_numbers.restype = None
         lib.tpureg_core_numbers.argtypes = [
             ctypes.POINTER(ctypes.c_uint64),
@@ -76,12 +86,15 @@ def pack_adjacency(adj: np.ndarray) -> Tuple[np.ndarray, int]:
 
 
 def exact_max_clique(
-    adj: np.ndarray, time_limit: float = 3600.0
+    adj: np.ndarray, time_limit: float = 3600.0, num_threads: int = 1
 ) -> Tuple[List[int], bool]:
     """Exact maximum clique of a dense boolean adjacency matrix.
 
     Returns (sorted vertex list, timed_out). Under time pressure the best
     clique found so far is returned with ``timed_out=True`` (PMC semantics).
+    ``num_threads`` > 1 searches root subtrees on worker threads that share
+    the incumbent bound (the reference's PMC OpenMP model, graph.cc:38);
+    ``num_threads <= 0`` uses all hardware threads.
     """
     adj = np.asarray(adj, dtype=bool)
     n = adj.shape[0]
@@ -92,11 +105,14 @@ def exact_max_clique(
     packed = np.ascontiguousarray(packed)
     out = np.zeros(n, dtype=np.int32)
     flag = np.zeros(1, dtype=np.int32)
-    size = lib.tpureg_max_clique(
+    if num_threads <= 0:
+        num_threads = os.cpu_count() or 1
+    size = lib.tpureg_max_clique_mt(
         packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         np.int32(n),
         np.int32(words),
         ctypes.c_double(time_limit),
+        np.int32(num_threads),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         flag.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )

@@ -123,7 +123,9 @@ class MaxCliqueSolver:
             # greedy lower bound internally (the reference runs PMC's
             # compute_cores + pmc_heu first, graph.cc:58-91; ours fuses them).
             clique, _timed_out = _exact.exact_max_clique(
-                adj, time_limit=self.params.time_limit
+                adj,
+                time_limit=self.params.time_limit,
+                num_threads=self.params.num_threads,
             )
             return sorted(clique)
 

@@ -13,9 +13,12 @@
 // Build: g++ -O3 -march=native -shared -fPIC maxclique.cc -o libmaxclique.so
 
 #include <algorithm>
+#include <atomic>
 #include <chrono>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -46,16 +49,37 @@ inline bool any_bit(const std::vector<uint64_t>& a) {
   return false;
 }
 
+// Shared incumbent for (optionally multi-threaded) branch-and-bound: the
+// size is an atomic read for lock-free pruning; the vector updates under a
+// mutex (PMC shares its bound across OpenMP threads the same way).
+struct Incumbent {
+  std::atomic<int> size{0};
+  std::vector<int> verts;
+  std::mutex mu;
+
+  void offer(const std::vector<int>& c) {
+    int s = int(c.size());
+    if (s <= size.load(std::memory_order_relaxed)) return;
+    std::lock_guard<std::mutex> lock(mu);
+    if (s > int(verts.size())) {
+      verts = c;
+      size.store(s, std::memory_order_relaxed);
+    }
+  }
+};
+
 struct Searcher {
   int n = 0, words = 0;
   const uint64_t* adj = nullptr;  // n rows x words
-  std::vector<int> best;
+  Incumbent* inc = nullptr;
   std::vector<int> cur;
   Clock::time_point deadline;
   bool timed_out = false;
   long long nodes = 0;
 
   const uint64_t* row(int v) const { return adj + size_t(v) * words; }
+
+  int best_size() const { return inc->size.load(std::memory_order_relaxed); }
 
   bool check_time() {
     if ((++nodes & 0xFFF) == 0 && Clock::now() > deadline) timed_out = true;
@@ -92,7 +116,7 @@ struct Searcher {
     std::vector<int> order, colors;
     color_sort(P, order, colors);
     for (int k = int(order.size()) - 1; k >= 0; --k) {
-      if (int(cur.size()) + colors[k] <= int(best.size())) return;
+      if (int(cur.size()) + colors[k] <= best_size()) return;
       int v = order[k];
       cur.push_back(v);
       std::vector<uint64_t> P2(words);
@@ -100,8 +124,8 @@ struct Searcher {
       for (int i = 0; i < words; ++i) P2[i] = P[i] & rv[i];
       if (any_bit(P2)) {
         expand(P2);
-      } else if (cur.size() > best.size()) {
-        best = cur;
+      } else if (int(cur.size()) > best_size()) {
+        inc->offer(cur);
       }
       cur.pop_back();
       if (timed_out) return;
@@ -191,48 +215,81 @@ extern "C" {
 // Returns the clique size (>=0) and fills out[0..size) with vertex ids.
 // timed_out_flag (optional) is set to 1 if the search hit the time limit
 // (result is then the best clique found so far, like PMC under time_limit).
-int tpureg_max_clique(const uint64_t* adj_bits, int32_t n, int32_t words,
-                      double time_limit_sec, int32_t* out,
-                      int32_t* timed_out_flag) {
+int tpureg_max_clique_mt(const uint64_t* adj_bits, int32_t n, int32_t words,
+                         double time_limit_sec, int32_t num_threads,
+                         int32_t* out, int32_t* timed_out_flag) {
   if (n <= 0) return 0;
   std::vector<int> core, order;
   compute_cores(adj_bits, n, words, core, order);
   int max_core = 0;
   for (int v = 0; v < n; ++v) max_core = std::max(max_core, core[v]);
 
-  Searcher s;
-  s.n = n;
-  s.words = words;
-  s.adj = adj_bits;
-  s.deadline = Clock::now() + std::chrono::duration_cast<Clock::duration>(
-                                  std::chrono::duration<double>(time_limit_sec));
-  s.best = greedy_clique(adj_bits, n, words, core);
+  auto deadline =
+      Clock::now() + std::chrono::duration_cast<Clock::duration>(
+                         std::chrono::duration<double>(time_limit_sec));
+  Incumbent inc;
+  inc.offer(greedy_clique(adj_bits, n, words, core));
 
-  if (int(s.best.size()) < max_core + 1) {
+  std::atomic<int> timed_out{0};
+  if (inc.size.load() < max_core + 1) {
     // Root expansion in reverse degeneracy order: P(v) = later-ordered
-    // neighbors of v; prune roots whose core bound cannot beat the best.
+    // neighbors of v (each clique gets a unique root); roots whose core
+    // bound cannot beat the incumbent are pruned. Threads pull roots from
+    // a shared atomic counter and share the incumbent bound (the same
+    // scheme PMC uses across its OpenMP threads, graph.cc:38).
     std::vector<int> pos(n);
     for (int i = 0; i < n; ++i) pos[order[i]] = i;
-    for (int i = n - 1; i >= 0; --i) {
-      int v = order[i];
-      if (core[v] + 1 <= int(s.best.size())) continue;
-      std::vector<uint64_t> P(words, 0);
-      const uint64_t* rv = s.row(v);
-      for (int w = 0; w < words; ++w) P[w] = rv[w];
-      // keep only vertices ordered after v (gives each clique a unique root)
-      for (int u = 0; u < n; ++u)
-        if (pos[u] < i) P[u >> 6] &= ~(1ULL << (u & 63));
-      if (!any_bit(P)) continue;
-      s.cur = {v};
-      s.expand(P);
-      s.cur.clear();
-      if (s.timed_out) break;
+    int nt = std::max(1, int(num_threads));
+    nt = std::min<int>(nt, std::max(1u, std::thread::hardware_concurrency()));
+    std::atomic<int> next_root{n - 1};
+
+    auto worker = [&]() {
+      Searcher s;
+      s.n = n;
+      s.words = words;
+      s.adj = adj_bits;
+      s.inc = &inc;
+      s.deadline = deadline;
+      while (true) {
+        int i = next_root.fetch_sub(1, std::memory_order_relaxed);
+        if (i < 0 || s.timed_out) break;
+        int v = order[i];
+        if (core[v] + 1 <= s.best_size()) continue;
+        std::vector<uint64_t> P(words, 0);
+        const uint64_t* rv = s.row(v);
+        for (int w = 0; w < words; ++w) P[w] = rv[w];
+        // keep only vertices ordered after v
+        for (int u = 0; u < n; ++u)
+          if (pos[u] < i) P[u >> 6] &= ~(1ULL << (u & 63));
+        if (!any_bit(P)) continue;
+        s.cur = {v};
+        s.expand(P);
+        s.cur.clear();
+      }
+      if (s.timed_out) timed_out.store(1, std::memory_order_relaxed);
+    };
+
+    if (nt <= 1) {
+      worker();
+    } else {
+      std::vector<std::thread> threads;
+      for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+      for (auto& th : threads) th.join();
     }
   }
 
-  for (size_t i = 0; i < s.best.size(); ++i) out[i] = s.best[i];
-  if (timed_out_flag) *timed_out_flag = s.timed_out ? 1 : 0;
-  return int(s.best.size());
+  std::lock_guard<std::mutex> lock(inc.mu);
+  for (size_t i = 0; i < inc.verts.size(); ++i) out[i] = int32_t(inc.verts[i]);
+  if (timed_out_flag) *timed_out_flag = timed_out.load() ? 1 : 0;
+  return int(inc.verts.size());
+}
+
+// Single-threaded entry kept for ABI compatibility.
+int tpureg_max_clique(const uint64_t* adj_bits, int32_t n, int32_t words,
+                      double time_limit_sec, int32_t* out,
+                      int32_t* timed_out_flag) {
+  return tpureg_max_clique_mt(adj_bits, n, words, time_limit_sec, 1, out,
+                              timed_out_flag);
 }
 
 // K-core decomposition export (used for parity tests of the device kernel).

@@ -169,3 +169,27 @@ def test_max_core_binary_search_matches_peel(rng):
         mask, k = max_core_from_bits(bits, n)
         assert int(k) == core.max()
         assert np.array_equal(np.asarray(mask), core == core.max())
+
+
+def test_exact_clique_multithreaded_matches_single(rng):
+    """Parallel root search (shared incumbent) == single-thread exact result."""
+    from teaserpp_tpu.clique.exact import exact_max_clique
+
+    for trial in range(5):
+        n = 120 + 30 * trial
+        p = [0.3, 0.5, 0.7][trial % 3]
+        a = rng.uniform(size=(n, n)) < p
+        adj = np.triu(a, 1)
+        adj = adj | adj.T
+        q = rng.choice(n, size=18, replace=False)
+        adj[np.ix_(q, q)] = True
+        np.fill_diagonal(adj, False)
+        c1, to1 = exact_max_clique(adj, num_threads=1)
+        c2, to2 = exact_max_clique(adj, num_threads=4)
+        assert not to1 and not to2
+        # max clique may not be unique; sizes must match and both must BE cliques
+        assert len(c1) == len(c2)
+        for c in (c1, c2):
+            sub = adj[np.ix_(c, c)]
+            assert sub.sum() == len(c) * (len(c) - 1)
+        assert len(c2) >= 18
