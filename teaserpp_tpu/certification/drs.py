@@ -45,6 +45,10 @@ class CertificationResult:
     is_optimal: bool = False
     best_suboptimality: float = float("inf")
     suboptimality_traj: List[float] = dataclasses.field(default_factory=list)
+    # ITERATIVE mode only: True when the shift-invert subspace rank was
+    # exhausted by negative eigenvalues at some iteration (projection may
+    # have been partial; raise DRSCertifierParams.psd_projection_rank).
+    rank_saturated: bool = False
 
     def __repr__(self) -> str:
         return (
@@ -336,6 +340,207 @@ def suboptimality_gap(
     return jnp.where(min_eig > 0, jnp.zeros_like(gap), gap)
 
 
+def _chol_shifted(sym: jnp.ndarray, sigma0: jnp.ndarray):
+    """Cholesky of ``sym - sigma I``, growing the shift until it succeeds.
+
+    ``sigma0`` should already be below lambda_min; when the estimate is stale
+    (lambda_min drifted between DRS iterations) the factorization produces
+    NaNs and the shift is pushed down geometrically — at most 4 retries.
+    """
+    npm = sym.shape[-1]
+    eye = jnp.eye(npm, dtype=sym.dtype)
+
+    def attempt(sigma):
+        c = jnp.linalg.cholesky(sym - sigma * eye)
+        ok = jnp.logical_not(jnp.any(jnp.isnan(c)))
+        return c, ok
+
+    c0, ok0 = attempt(sigma0)
+
+    def cond(state):
+        sigma, c, ok, tries = state
+        return jnp.logical_and(jnp.logical_not(ok), tries < 4)
+
+    def body(state):
+        sigma, c, ok, tries = state
+        sigma = sigma * 8.0
+        c, ok = attempt(sigma)
+        return sigma, c, ok, tries + 1
+
+    _, c, _, _ = jax.lax.while_loop(
+        cond, body, (sigma0, c0, ok0, jnp.asarray(0, jnp.int32))
+    )
+    return c
+
+
+def _shift_sigma(sym: jnp.ndarray, lam_prev: jnp.ndarray) -> jnp.ndarray:
+    """Shift safely below lambda_min from the previous iterate's estimate."""
+    # Gershgorin radius as the absolute-slack scale (cheap |lambda| bound)
+    g = jnp.max(jnp.sum(jnp.abs(sym), axis=-1))
+    return 3.0 * jnp.minimum(lam_prev, 0.0) - 1e-9 * g - 1e-12
+
+
+def _si_psd_step(
+    sym: jnp.ndarray, v: jnp.ndarray, lam_prev: jnp.ndarray, n_solve: int
+):
+    """PSD projection by warm-started shift-invert subspace iteration.
+
+    The DRS iterate's spectrum splits into a large positive bulk (norm ~ that
+    of Q_bar) and a near-zero cluster holding every negative eigenvalue; with
+    sigma just below lambda_min, each ``cho_solve`` pass suppresses bulk
+    contamination by |sigma| / ||sym|| (~1e-4), so 2 solves + Rayleigh-Ritz
+    recover the negative eigenpairs to ~1e-8 relative — accurate enough for
+    the certifier's 1e-3 gap without ever forming the dense eigh that caps
+    the reference at small N (certification.cc:198-218 switches eigen
+    *solvers* but still projects via full eigendecomposition, linalg.h:85).
+
+    Returns (m_psd, v_new, lam_min_new, saturated): ``saturated`` flags the
+    subspace rank being exhausted by negative eigenvalues — the projection
+    may then be partial and the caller reports it.
+    """
+    sigma = _shift_sigma(sym, lam_prev)
+    c = _chol_shifted(sym, sigma)
+    for _ in range(n_solve):
+        v = jax.scipy.linalg.cho_solve((c, True), v)
+        v, _ = jnp.linalg.qr(v)
+    t = v.T @ (sym @ v)
+    lam_t, w = jnp.linalg.eigh((t + jnp.swapaxes(t, -1, -2)) / 2)
+    v = v @ w
+    clip = jnp.minimum(lam_t, 0.0)
+    m_psd = sym - (v * clip) @ v.T
+    saturated = lam_t[-1] < 0  # every Ritz value negative: rank too small
+    return m_psd, v, lam_t[0], saturated
+
+
+def _si_min_eig(
+    sym: jnp.ndarray, v: jnp.ndarray, lam_prev: jnp.ndarray, n_solve: int = 2
+):
+    """Minimum eigenvalue via the same warm-started shift-invert iteration."""
+    sigma = _shift_sigma(sym, lam_prev)
+    c = _chol_shifted(sym, sigma)
+    for _ in range(n_solve):
+        v = jax.scipy.linalg.cho_solve((c, True), v)
+        v, _ = jnp.linalg.qr(v)
+    t = v.T @ (sym @ v)
+    lam_t = jnp.linalg.eigvalsh((t + jnp.swapaxes(t, -1, -2)) / 2)
+    return lam_t[0], v
+
+
+def _lam_min_init(sym: jnp.ndarray) -> jnp.ndarray:
+    """One-time lambda_min estimate to seed the shift-invert warm starts."""
+    from jax.experimental.sparse.linalg import lobpcg_standard
+
+    npm = sym.shape[-1]
+    x0 = _seed_block(npm, 4, sym.dtype)
+    theta, _, _ = lobpcg_standard(-sym, x0, m=64)
+    return -theta[0]
+
+
+def _seed_block(npm: int, k: int, dtype) -> jnp.ndarray:
+    """Deterministic well-spread starting block for subspace iterations."""
+    key = jax.random.PRNGKey(0)
+    return jax.random.normal(key, (npm, k), dtype)
+
+
+def _certify_core_iterative(
+    r: jnp.ndarray,
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    theta: jnp.ndarray,
+    params: DRSCertifierParams,
+):
+    """DRS loop with shift-invert PSD projection — the large-N / on-chip path.
+
+    Same fixed-point iteration as :func:`_certify_core`
+    (certification.cc:126-182), but the per-iteration dense eigh of the PSD
+    projection and of the gap are replaced by warm-started shift-invert
+    subspace iterations whose basis blocks ride through the while_loop state.
+    Returns (best_suboptim, traj, iters, saturated).
+    """
+    dtype = src.dtype
+    n = src.shape[-1]
+    npm = 4 * n + 4
+    i_np, j_np = np.triu_indices(n + 1, k=1)
+    i_idx = jnp.asarray(i_np, jnp.int32)
+    j_idx = jnp.asarray(j_np, jnp.int32)
+
+    theta_prepended = jnp.concatenate(
+        [jnp.ones((1,), dtype), theta.astype(dtype)]
+    )
+
+    q_cost = get_q_cost(src, dst, params.noise_bound, params.cbar2)
+    q_vec = quat_from_rotation(r)
+    d_omega = get_block_diag_omega(npm, q_vec)
+    q_bar = d_omega.T @ (q_cost @ d_omega)
+    nbs = params.cbar2 * params.noise_bound * params.noise_bound
+    r2 = jnp.sum((dst - r @ src) ** 2, axis=0)
+    mu = jnp.sum(jnp.where(theta > 0, r2, jnp.full_like(r2, nbs)))
+
+    lambda_bar_init = get_lambda_guess(
+        r, theta, src, dst, params.noise_bound, params.cbar2
+    )
+    j_bar = jnp.zeros((npm, npm), dtype).at[:4, :4].set(jnp.eye(4, dtype=dtype))
+    m_init = q_bar - mu * j_bar - lambda_bar_init
+
+    k = params.psd_projection_rank or max(16, npm // 4)
+    k = min(k, npm)
+    k_gap = min(8, npm)
+    n_solve = params.psd_projection_solves
+
+    sym0 = (m_init + m_init.T) / 2
+    lam0 = _lam_min_init(sym0)
+    v_psd0 = _seed_block(npm, k, dtype)
+    v_gap0 = _seed_block(npm, k_gap, dtype)
+
+    max_iters = params.max_iterations
+
+    def cond(state):
+        it, m, best, traj, done, v_psd, lam_psd, v_gap, lam_gap, sat = state
+        return jnp.logical_and(it < max_iters, jnp.logical_not(done))
+
+    def body(state):
+        it, m, best, traj, done, v_psd, lam_psd, v_gap, lam_gap, sat = state
+        sym = (m + m.T) / 2
+        m_psd, v_psd, lam_psd, saturated = _si_psd_step(
+            sym, v_psd, lam_psd, n_solve
+        )
+        sat = jnp.logical_or(sat, saturated)
+        temp_w = 2.0 * m_psd - m - m_init
+        w_dual = optimal_dual_projection(temp_w, theta_prepended, i_idx, j_idx)
+        m_affine = m_init + w_dual
+        lam_aff, v_gap = _si_min_eig(
+            (m_affine + m_affine.T) / 2, v_gap, lam_gap, n_solve
+        )
+        lam_gap = lam_aff
+        gap = (-lam_aff * (n + 1)) / mu
+        gap = jnp.where(lam_aff > 0, jnp.zeros_like(gap), gap)
+        best = jnp.minimum(best, gap)
+        traj = traj.at[it].set(gap)
+        done = gap < params.sub_optimality
+        m = jnp.where(done, m, m + params.gamma_tau * (m_affine - m_psd))
+        return it + 1, m, best, traj, done, v_psd, lam_psd, v_gap, lam_gap, sat
+
+    inf = jnp.asarray(jnp.inf, dtype)
+    traj0 = jnp.full((max_iters,), jnp.nan, dtype)
+    state0 = (
+        jnp.asarray(0, jnp.int32),
+        m_init,
+        inf,
+        traj0,
+        jnp.asarray(False),
+        v_psd0,
+        lam0,
+        v_gap0,
+        lam0,
+        jnp.asarray(False),
+    )
+    it, m, best, traj, done, _, _, _, _, sat = jax.lax.while_loop(
+        cond, body, state0
+    )
+    del m, done
+    return best, traj, it, sat
+
+
 def _certify_core(
     r: jnp.ndarray,
     src: jnp.ndarray,
@@ -388,9 +593,7 @@ def _certify_core(
         temp_w = 2.0 * m_psd - m - m_init
         w_dual = optimal_dual_projection(temp_w, theta_prepended, i_idx, j_idx)
         m_affine = m_init + w_dual
-        gap = suboptimality_gap(
-            m_affine, mu, n, params.eig_decomposition_solver
-        )
+        gap = suboptimality_gap(m_affine, mu, n, EigSolverType.DENSE)
         best = jnp.minimum(best, gap)
         traj = traj.at[it].set(gap)
         done = gap < params.sub_optimality
@@ -406,10 +609,22 @@ def _certify_core(
     return best, traj, it
 
 
-_certify_jit = jax.jit(_certify_core, static_argnames=("params",))
+def _certify_dispatch(r, src, dst, theta, params: DRSCertifierParams):
+    """Static dispatch between the dense and shift-invert DRS cores.
+
+    Returns (best, traj, iters, rank_saturated); the dense path never
+    saturates by construction (full eigendecomposition).
+    """
+    if params.eig_decomposition_solver == EigSolverType.ITERATIVE:
+        return _certify_core_iterative(r, src, dst, theta, params)
+    best, traj, it = _certify_core(r, src, dst, theta, params)
+    return best, traj, it, jnp.asarray(False)
+
+
+_certify_jit = jax.jit(_certify_dispatch, static_argnames=("params",))
 
 _certify_batch_jit = jax.jit(
-    jax.vmap(_certify_core, in_axes=(0, 0, 0, 0, None)),
+    jax.vmap(_certify_dispatch, in_axes=(0, 0, 0, 0, None)),
     static_argnames=("params",),
 )
 
@@ -437,7 +652,7 @@ def certify_batch(
     thetas = np.asarray(thetas)
     if thetas.dtype == bool:
         thetas = np.where(thetas, 1.0, -1.0)
-    best, traj, iters = _certify_batch_jit(
+    best, traj, iters, sat = _certify_batch_jit(
         jnp.asarray(rotations, dtype),
         jnp.asarray(src_tims, dtype),
         jnp.asarray(dst_tims, dtype),
@@ -447,11 +662,13 @@ def certify_batch(
     best = np.asarray(best)
     iters = np.asarray(iters)
     traj = np.asarray(traj)
+    sat = np.asarray(sat)
     return [
         CertificationResult(
             is_optimal=bool(best[b] < params.sub_optimality),
             best_suboptimality=float(best[b]),
             suboptimality_traj=[float(v) for v in traj[b, : iters[b]]],
+            rank_saturated=bool(sat[b]),
         )
         for b in range(len(best))
     ]
@@ -489,7 +706,9 @@ class DRSCertifier:
         dst_d = jnp.asarray(dst, dtype)
         theta_d = jnp.asarray(theta, dtype)
 
-        best, traj, iters = _certify_jit(r, src_d, dst_d, theta_d, self.params)
+        best, traj, iters, sat = _certify_jit(
+            r, src_d, dst_d, theta_d, self.params
+        )
         best = float(best)
         iters = int(iters)
         traj_np = np.asarray(traj)[:iters]
@@ -497,4 +716,5 @@ class DRSCertifier:
             is_optimal=best < self.params.sub_optimality,
             best_suboptimality=best,
             suboptimality_traj=[float(v) for v in traj_np],
+            rank_saturated=bool(sat),
         )

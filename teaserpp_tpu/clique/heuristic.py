@@ -27,11 +27,24 @@ class HeuristicCliqueResult(NamedTuple):
     core: jnp.ndarray  # (N,) int32 core numbers (reused by callers)
 
 
-def _greedy_from_seed(seed: jnp.ndarray, adj: jnp.ndarray, score: jnp.ndarray):
-    """Grow one clique greedily from ``seed`` by repeated best-candidate picks."""
+def _greedy_from_seed(
+    seed: jnp.ndarray,
+    adj: jnp.ndarray,
+    score: jnp.ndarray,
+    skip: jnp.ndarray,
+):
+    """Grow one clique greedily from ``seed`` by repeated best-candidate picks.
+
+    ``skip`` (scalar bool) empties the initial candidate set so the while_loop
+    terminates immediately — under vmap this is how a problem whose k-core
+    shortcut already decided the answer avoids paying for the serial greedy
+    expansion of its batch neighbors (reference graph.cc:66-81 returns early
+    on the host; a traced program cannot, but a zero-trip loop is just as
+    cheap when every lane skips).
+    """
     n = adj.shape[-1]
     member0 = jnp.zeros((n,), bool).at[seed].set(True)
-    cand0 = adj[seed]
+    cand0 = adj[seed] & jnp.logical_not(skip)
 
     def cond(state):
         member, cand = state
@@ -54,6 +67,8 @@ def heuristic_max_clique(
     adj: jnp.ndarray,
     valid: Optional[jnp.ndarray] = None,
     num_seeds: int = 64,
+    skip: Optional[jnp.ndarray] = None,
+    core: Optional[jnp.ndarray] = None,
 ) -> HeuristicCliqueResult:
     """Best clique over ``num_seeds`` parallel greedy expansions.
 
@@ -61,18 +76,28 @@ def heuristic_max_clique(
       adj: (N, N) bool symmetric adjacency, zero diagonal.
       valid: optional (N,) vertex validity mask (padding support).
       num_seeds: number of high-core seed vertices to expand from.
+      skip: optional scalar bool — when True the greedy loops run zero
+        iterations and the result mask is meaningless (the caller's k-core
+        shortcut supplies the answer; see ``device_clique_from_adjacency``).
+      core: optional precomputed core numbers (avoids a second k-core peel
+        when the caller already ran one).
     """
     n = adj.shape[-1]
     if valid is not None:
         vcol = jnp.asarray(valid).astype(bool)
         adj = adj & vcol[None, :] & vcol[:, None]
-    core = core_numbers(adj, valid)
+    if core is None:
+        core = core_numbers(adj, valid)
     max_core = jnp.max(core)
     num_seeds = min(num_seeds, n)
+    if skip is None:
+        skip = jnp.zeros((), bool)
 
     # Seeds: the num_seeds highest-core vertices (ties broken by index).
     seeds = jnp.argsort(-core, stable=True)[:num_seeds].astype(jnp.int32)
-    members = jax.vmap(_greedy_from_seed, in_axes=(0, None, None))(seeds, adj, core)
+    members = jax.vmap(_greedy_from_seed, in_axes=(0, None, None, None))(
+        seeds, adj, core, skip
+    )
     sizes = jnp.sum(members, axis=-1).astype(jnp.int32)
     best = jnp.argmax(sizes)
     mask = members[best]

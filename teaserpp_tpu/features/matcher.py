@@ -15,6 +15,7 @@ swap-back, sort + dedup.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -22,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _nn_indices(queries: jnp.ndarray, database: jnp.ndarray) -> jnp.ndarray:
+def _nn_block(queries: jnp.ndarray, database: jnp.ndarray) -> jnp.ndarray:
     """Index of the nearest database row for every query row (squared L2).
 
     Two-stage exact search: the MXU Gram-matrix trick ranks candidates, then
@@ -32,11 +33,6 @@ def _nn_indices(queries: jnp.ndarray, database: jnp.ndarray) -> jnp.ndarray:
     Ties break toward the lowest database index.
     """
     k = min(32, database.shape[0])
-    # mean-centering is distance-invariant but removes the descriptor common
-    # mode, shrinking norms and thus the Gram trick's cancellation error
-    center = jnp.mean(database, axis=0)
-    queries = queries - center
-    database = database - center
     q2 = jnp.sum(queries * queries, axis=-1)
     d2 = jnp.sum(database * database, axis=-1)
     gram = queries @ database.T
@@ -52,7 +48,32 @@ def _nn_indices(queries: jnp.ndarray, database: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(cand_sorted, best[:, None], axis=-1)[:, 0]
 
 
-_nn_indices_jit = jax.jit(_nn_indices)
+@functools.partial(jax.jit, static_argnames=("block",))
+def _nn_indices(
+    queries: jnp.ndarray, database: jnp.ndarray, block: int = 4096
+) -> jnp.ndarray:
+    """Exact NN over query blocks: peak memory O(block * DB) not O(Q * DB).
+
+    At the 100K x 100K scenes the sharded solver targets, the full Gram
+    matrix is 40 GB; ``lax.map`` over padded query stripes keeps each
+    (block, DB) panel on-chip while still riding the MXU.
+    """
+    # mean-centering is distance-invariant but removes the descriptor common
+    # mode, shrinking norms and thus the Gram trick's cancellation error
+    center = jnp.mean(database, axis=0)
+    queries = queries - center
+    database = database - center
+    q = queries.shape[0]
+    if q <= block:
+        return _nn_block(queries, database)
+    nb = -(-q // block)
+    pad = nb * block - q
+    qp = jnp.pad(queries, ((0, pad), (0, 0))).reshape(nb, block, -1)
+    out = jax.lax.map(lambda qs: _nn_block(qs, database), qp)
+    return out.reshape(nb * block)[:q]
+
+
+_nn_indices_jit = _nn_indices
 
 
 class Matcher:
@@ -113,31 +134,36 @@ class Matcher:
         nn_i_of_j = np.asarray(_nn_indices_jit(feat_j, feat_i))  # (n_j,)
         nn_j_of_i = np.asarray(_nn_indices_jit(feat_i, feat_j))  # (n_i,)
 
-        # initial matching (matcher.cc:151-175)
+        # initial matching (matcher.cc:151-175), fully vectorized — the
+        # per-pair Python loops this replaces were O(N) interpreter work and
+        # dominated wall time at 100K-correspondence scenes.
         i_to_j = np.full(n_i, -1, np.int64)
         hit = np.unique(nn_i_of_j)
         i_to_j[hit] = nn_j_of_i[hit]
-        corres_ij = [(int(i), int(i_to_j[i])) for i in range(n_i) if i_to_j[i] != -1]
-        corres_ji = [(int(nn_i_of_j[j]), int(j)) for j in range(len(nn_i_of_j))]
+        ii = np.nonzero(i_to_j != -1)[0]
+        corres_ij = np.stack([ii, i_to_j[ii]], axis=1)  # (Mij, 2)
+        n_j = len(nn_i_of_j)
 
         if use_crosscheck:
             # (i, j) kept iff j == i_to_j[i] and nn_i_of_j[j] == i
             # (matcher.cc:182-213)
-            corres = [
-                (i, j)
-                for i, j in corres_ij
-                if 0 <= j < len(nn_i_of_j) and nn_i_of_j[j] == i
-            ]
+            jj = corres_ij[:, 1]
+            keep = (jj >= 0) & (jj < n_j)
+            keep[keep] = nn_i_of_j[jj[keep]] == corres_ij[keep, 0]
+            corres = corres_ij[keep]
         else:
-            corres = corres_ij + corres_ji
+            corres_ji = np.stack(
+                [nn_i_of_j, np.arange(n_j, dtype=np.int64)], axis=1
+            )
+            corres = np.concatenate([corres_ij, corres_ji], axis=0)
 
         # tuple constraint (matcher.cc:223-283)
-        if use_tuple_test and tuple_scale != 0 and corres:
+        if use_tuple_test and tuple_scale != 0 and len(corres):
             rng = np.random.default_rng(seed)
             ncorr = len(corres)
             trials = ncorr * 100
-            ci = np.asarray([c[0] for c in corres])
-            cj = np.asarray([c[1] for c in corres])
+            ci = corres[:, 0]
+            cj = corres[:, 1]
             picks = rng.integers(0, ncorr, size=(trials, 3))
             pi = clouds[fi][ci[picks]]  # (T, 3, 3)
             pj = clouds[fj][cj[picks]]
@@ -156,8 +182,11 @@ class Matcher:
             lj = side_lengths(pj)
             ok = ((li * tuple_scale < lj) & (lj < li / tuple_scale)).all(axis=1)
             kept = picks[ok].reshape(-1)
-            corres = [(int(ci[k]), int(cj[k])) for k in kept]
+            corres = np.stack([ci[kept], cj[kept]], axis=1)
 
         if swapped:
-            corres = [(j, i) for i, j in corres]
-        return sorted(set(corres))
+            corres = corres[:, ::-1]
+        # sort + dedup (matcher.cc:299-300): lexicographic unique rows match
+        # sorted(set(tuples)) exactly
+        corres = np.unique(corres.astype(np.int64), axis=0)
+        return [tuple(row) for row in corres.tolist()]

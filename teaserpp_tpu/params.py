@@ -157,6 +157,14 @@ class DRSCertifierParams:
     max_iterations: int = 200
     gamma_tau: float = 1.999999
     eig_decomposition_solver: EigSolverType = EigSolverType.DENSE
+    # ITERATIVE-mode knobs (no reference analog — the reference's Spectra
+    # path, certification.cc:198-218, only covers the gap eigenvalue; here
+    # ITERATIVE replaces the per-iteration dense eigh of the PSD projection
+    # with warm-started shift-invert subspace iteration, the large-N path):
+    # subspace rank (0 = auto: npm // 4, comfortably above the peak negative
+    # count observed at ~npm/8) and inner solve count per DRS iteration.
+    psd_projection_rank: int = 0
+    psd_projection_solves: int = 2
 
     def replace(self, **kw) -> "DRSCertifierParams":
         return dataclasses.replace(self, **kw)

@@ -121,8 +121,17 @@ def device_clique_from_adjacency(
                 max_core.astype(jnp.float32)
                 > params.kcore_heuristic_threshold * nv,
             )
+            # skip=use_kcore makes the greedy while_loops zero-trip when the
+            # k-core shortcut already decided — a threshold>0 batch where
+            # every problem takes the shortcut now costs the same as
+            # threshold=0 (the reference returns early on the host,
+            # graph.cc:66-81; a traced program skips by emptying the loops).
             heu = heuristic_max_clique(
-                adj, valid=valid, num_seeds=params.max_clique_heuristic_seeds
+                adj,
+                valid=valid,
+                num_seeds=params.max_clique_heuristic_seeds,
+                skip=use_kcore,
+                core=core,
             )
             mask = jnp.where(use_kcore, kcore_mask, heu.mask)
     else:  # PMC_HEU -> on-device greedy heuristic

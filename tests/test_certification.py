@@ -279,3 +279,66 @@ def test_full_certification_trajectory_large(case):
     # the optimality threshold — the reference compares trajectories, not an
     # is_optimal flag, for these instances (certification-test.cc:513-524)
     assert abs(result.best_suboptimality - ref_traj.min()) < TOL
+
+
+@requires_ref_data
+@pytest.mark.parametrize("case", CASES)
+def test_iterative_mode_matches_dense_on_golden(case):
+    """ITERATIVE (shift-invert PSD projection + shift-invert gap) must reach
+    the same certificate as the DENSE path on the reference golden instances.
+
+    Unlike the dense path, individual early iterates may differ (the warm
+    start needs a few iterations to lock onto the negative subspace), so the
+    pin is on the final certificate, not the per-iteration trajectory.
+    """
+    data = _load_case(case)
+    base = DRSCertifierParams(noise_bound=data["noise_bound"], cbar2=data["cbar2"])
+    dense = DRSCertifier(base).certify(
+        data["R_est"], data["v1"], data["v2"], data["theta_est"]
+    )
+    it_params = base.replace(
+        eig_decomposition_solver=DRSCertifier.EIG_SOLVER_TYPE.ITERATIVE
+    )
+    iterative = DRSCertifier(it_params).certify(
+        data["R_est"], data["v1"], data["v2"], data["theta_est"]
+    )
+    assert iterative.is_optimal == dense.is_optimal
+    assert not iterative.rank_saturated
+    # both runs stop as soon as gap < sub_optimality; stopping iterations can
+    # differ, so pin both to the certificate threshold, not to each other
+    assert iterative.best_suboptimality < base.sub_optimality
+    assert abs(iterative.best_suboptimality - dense.best_suboptimality) < 1e-3
+
+
+def test_iterative_mode_matches_dense_synthetic(rng):
+    """Shift-invert certification agrees with dense on a synthetic N=60
+    instance solved by GNC-TLS (cross-check required by the large-N path)."""
+    from teaserpp_tpu.solvers import solve_rotation_gnc_tls
+    from teaserpp_tpu.params import EigSolverType
+
+    n = 60
+    v1 = rng.standard_normal((3, n))
+    a = rng.standard_normal((3, 3))
+    r0, _ = np.linalg.qr(a)
+    if np.linalg.det(r0) < 0:
+        r0[:, 0] *= -1
+    nb = 0.03
+    v2 = r0 @ v1 + rng.standard_normal((3, n)) * (nb / 4)
+    out_idx = rng.choice(n, 15, replace=False)
+    v2[:, out_idx] = rng.standard_normal((3, 15)) * 2
+    rot = solve_rotation_gnc_tls(jnp.asarray(v1), jnp.asarray(v2), nb)
+    theta = np.where(np.asarray(rot.inliers), 1.0, -1.0)
+
+    results = {}
+    for solver in (EigSolverType.DENSE, EigSolverType.ITERATIVE):
+        params = DRSCertifierParams(
+            noise_bound=nb, eig_decomposition_solver=solver
+        )
+        results[solver] = DRSCertifier(params).certify(
+            np.asarray(rot.rotation), v1, v2, theta
+        )
+    dense, it = results[EigSolverType.DENSE], results[EigSolverType.ITERATIVE]
+    assert dense.is_optimal and it.is_optimal
+    assert not it.rank_saturated
+    assert it.best_suboptimality < params.sub_optimality
+    assert abs(it.best_suboptimality - dense.best_suboptimality) < 1e-3

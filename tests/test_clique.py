@@ -193,3 +193,49 @@ def test_exact_clique_multithreaded_matches_single(rng):
             sub = adj[np.ix_(c, c)]
             assert sub.sum() == len(c) * (len(c) - 1)
         assert len(c2) >= 18
+
+
+def test_heuristic_skip_flag_and_kcore_threshold_parity(rng):
+    """skip=True empties the greedy loops; threshold>0 pipeline still correct.
+
+    Mirrors reference graph.cc:66-81 (k-core shortcut when max_core exceeds
+    threshold * |V|): the mask must equal the top k-core whenever the
+    shortcut fires, with the greedy expansion contributing zero loop trips.
+    """
+    import jax.numpy as jnp
+    from teaserpp_tpu.clique.heuristic import heuristic_max_clique
+    from teaserpp_tpu.clique.kcore import core_numbers
+    from teaserpp_tpu.solvers.pipeline import device_clique_from_adjacency
+    from teaserpp_tpu.params import (
+        InlierSelectionMode,
+        RobustRegistrationSolverParams,
+    )
+
+    adj = _planted_clique_graph(rng, n=40, k=10, p=0.05)
+    members = np.arange(10)
+    adj_j = jnp.asarray(adj)
+
+    # skip=False reproduces the default result; skip=True yields zero-trip
+    # loops (mask is then just the seeds, content irrelevant by contract).
+    base = heuristic_max_clique(adj_j, num_seeds=8)
+    flagged = heuristic_max_clique(adj_j, num_seeds=8, skip=jnp.asarray(False))
+    assert np.array_equal(np.asarray(base.mask), np.asarray(flagged.mask))
+    skipped = heuristic_max_clique(adj_j, num_seeds=8, skip=jnp.asarray(True))
+    assert int(skipped.mask.sum()) <= 8  # loops never grew any seed
+
+    # threshold>0 KCORE_HEU: shortcut fires (max_core=9 > 0.1*40) -> top core
+    params = RobustRegistrationSolverParams(
+        inlier_selection_mode=InlierSelectionMode.KCORE_HEU,
+        kcore_heuristic_threshold=0.1,
+    )
+    mask = np.asarray(device_clique_from_adjacency(adj_j, params))
+    core = np.asarray(core_numbers(adj_j))
+    assert np.array_equal(mask, core >= core.max())
+
+    # threshold ~ 1.0: shortcut cannot fire -> greedy path finds the clique
+    params2 = RobustRegistrationSolverParams(
+        inlier_selection_mode=InlierSelectionMode.KCORE_HEU,
+        kcore_heuristic_threshold=0.99,
+    )
+    mask2 = np.asarray(device_clique_from_adjacency(adj_j, params2))
+    assert mask2[members].all()

@@ -130,3 +130,40 @@ def test_tls_fixed_range_padding_and_vmap(rng):
             np.asarray(batched.inliers[b])[:n], np.asarray(single.inliers)
         )
         assert not np.asarray(batched.inliers[b])[n:].any()
+
+
+def test_tls_estimate_tiled_golden_cases():
+    """Golden cases of the reference's tiled estimator (tls-test.cc:88-150).
+
+    ``estimate_tiled`` (registration.cc:90-204) evaluates consensus at the
+    midpoints between consecutive sorted interval endpoints; the consensus
+    set at the center between events k and k+1 equals the open set after
+    event k in our sweep formulation, so :func:`scalar_tls` reproduces the
+    tiled variant's outputs exactly (the tile size ``s=64`` only changes the
+    reference's loop schedule, not its math).
+    """
+    cases = [
+        # (measurements, ranges, expected_estimate, expected_inliers)
+        (
+            [0.5, 1, 0.6, 0.7, 1.2],
+            [0.9, 0.9, 0.4, 0.5, 0.4],
+            0.8383,
+            [True, True, True, True, True],
+        ),
+        (
+            [0.5, 1, 0.6, 0.7, 1.2, 10],
+            [0.9, 0.9, 0.4, 0.5, 0.4, 0.5],
+            0.8383,
+            [True, True, True, True, True, False],
+        ),
+        (
+            [0.5, 1, 0.6, 20, 16, 10],
+            [0.9, 0.9, 0.4, 0.5, 0.4, 0.5],
+            0.6425,
+            [True, True, True, False, False, False],
+        ),
+    ]
+    for x, r, est_ref, inl_ref in cases:
+        res = scalar_tls(jnp.asarray(x, jnp.float64), jnp.asarray(r, jnp.float64))
+        assert abs(float(res.estimate) - est_ref) < 1e-3
+        assert np.array_equal(np.asarray(res.inliers), np.asarray(inl_ref))
