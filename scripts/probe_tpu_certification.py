@@ -1,9 +1,13 @@
-"""Probe: DRS certification on the TPU chip in f64 (emulated) at N=100.
+"""DRS certification on the TPU chip (f64 emulation) at N=100.
 
 The f32 DRS loop stalls at suboptimality ~1e2 (PERFORMANCE.md); the axon
-backend turns out to do real f64 emulation (dot rel err ~2e-15, eigvalsh
-~3e-11), so the certifier may converge on-chip with x64 enabled.
+backend does real f64 emulation (dot rel err ~2e-15, eigvalsh ~3e-11), and
+the ITERATIVE shift-invert path avoids the large dense eigh entirely —
+Cholesky + triangular solves + a k x k eigh per DRS iteration.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/probe_tpu_certification.py [dense]
 """
+import sys
 import time
 import numpy as np
 import jax
@@ -15,11 +19,12 @@ jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
 from teaserpp_tpu.certification.drs import DRSCertifier
-from teaserpp_tpu.params import DRSCertifierParams
+from teaserpp_tpu.params import DRSCertifierParams, EigSolverType
+from teaserpp_tpu.solvers.rotation import solve_rotation_gnc_tls
 
 print("backend:", jax.devices())
 
-rng = np.random.default_rng(0)
+rng = np.random.default_rng(3)
 n = 100
 v1 = rng.standard_normal((3, n))
 a = rng.standard_normal((3, 3))
@@ -28,28 +33,23 @@ if np.linalg.det(r0) < 0:
     r0[:, 0] *= -1
 nb = 0.03
 v2 = r0 @ v1 + rng.standard_normal((3, n)) * (nb / 4)
-n_out = 25
-out_idx = rng.choice(n, n_out, replace=False)
-v2[:, out_idx] = rng.standard_normal((3, n_out)) * 2
-theta = np.ones(n)
-theta[out_idx] = -1
+out_idx = rng.choice(n, 25, replace=False)
+v2[:, out_idx] = rng.standard_normal((3, 25)) * 2
+rot = solve_rotation_gnc_tls(jnp.asarray(v1), jnp.asarray(v2), nb)
+r_est = np.asarray(rot.rotation)
+theta = np.where(np.asarray(rot.inliers), 1.0, -1.0)
 
-# refit R on inliers (weighted Procrustes) so the estimate is near-optimal
-inl = theta > 0
-h = v2[:, inl] @ v1[:, inl].T
-u, s, vt = np.linalg.svd(h)
-d = np.sign(np.linalg.det(u @ vt))
-r_est = u @ np.diag([1, 1, d]) @ vt
-
-params = DRSCertifierParams(noise_bound=nb, max_iterations=200)
+solver = EigSolverType.DENSE if "dense" in sys.argv else EigSolverType.ITERATIVE
+params = DRSCertifierParams(
+    noise_bound=nb, max_iterations=200, eig_decomposition_solver=solver
+)
 cert = DRSCertifier(params)
 t0 = time.time()
 res = cert.certify(r_est, v1, v2, theta)
 t1 = time.time()
-print("first call (incl compile):", t1 - t0)
+print("mode:", solver, "first call (incl compile):", t1 - t0)
 print("is_optimal:", res.is_optimal, "best:", res.best_suboptimality,
-      "iters:", len(res.suboptimality_traj))
-print("traj head:", [f"{v:.3e}" for v in res.suboptimality_traj[:8]])
+      "iters:", len(res.suboptimality_traj), "sat:", res.rank_saturated)
 print("traj tail:", [f"{v:.3e}" for v in res.suboptimality_traj[-4:]])
 t0 = time.time()
 res2 = cert.certify(r_est, v1, v2, theta)

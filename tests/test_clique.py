@@ -239,3 +239,61 @@ def test_heuristic_skip_flag_and_kcore_threshold_parity(rng):
     )
     mask2 = np.asarray(device_clique_from_adjacency(adj_j, params2))
     assert mask2[members].all()
+
+
+def test_sparse_exact_clique_matches_dense(rng):
+    """CSR sparse exact search (PMC `search` analog for V >= adj_limit,
+    reference graph.cc:114-121) agrees with the dense branch-and-bound."""
+    from teaserpp_tpu.clique.exact import (
+        adjacency_to_csr,
+        exact_max_clique,
+        exact_max_clique_sparse,
+        native_core_numbers,
+        native_core_numbers_csr,
+    )
+
+    for k, p in [(8, 0.05), (12, 0.1), (15, 0.2)]:
+        adj = _planted_clique_graph(rng, n=150, k=k, p=p)
+        dense, _ = exact_max_clique(adj, num_threads=2)
+        indptr, indices = adjacency_to_csr(adj)
+        sparse, _ = exact_max_clique_sparse(indptr, indices, 150, num_threads=2)
+        assert len(dense) == len(sparse)
+        s = np.asarray(sparse)
+        assert adj[np.ix_(s, s)].sum() == len(s) * (len(s) - 1)
+        assert np.array_equal(
+            native_core_numbers(adj), native_core_numbers_csr(indptr, indices, 150)
+        )
+
+
+def test_max_clique_solver_sparse_dispatch(rng):
+    """The facade switches to the CSR search above adj_limit and returns the
+    same clique (adj_limit=0 forces the sparse path on a small graph)."""
+    from teaserpp_tpu.params import CliqueSolverMode, MaxCliqueSolverParams
+
+    adj = _planted_clique_graph(rng, n=80, k=12, p=0.1)
+    g = Graph(adj)
+    dense = MaxCliqueSolver(
+        MaxCliqueSolverParams(solver_mode=CliqueSolverMode.PMC_EXACT)
+    ).findMaxClique(g)
+    sparse = MaxCliqueSolver(
+        MaxCliqueSolverParams(solver_mode=CliqueSolverMode.PMC_EXACT, adj_limit=0)
+    ).findMaxClique(g)
+    assert len(dense) == len(sparse) == 12
+
+
+def test_kcore_mask_from_bits(rng):
+    """Bulk k-core fixpoint on the bitset adjacency matches core_numbers >= k."""
+    import jax.numpy as jnp
+    from teaserpp_tpu.clique.kcore import (
+        core_numbers,
+        kcore_mask_from_bits,
+        pack_bits_u32_rows,
+    )
+
+    adj = _planted_clique_graph(rng, n=96, k=14, p=0.15)
+    adj_j = jnp.asarray(adj)
+    core = np.asarray(core_numbers(adj_j))
+    bits = pack_bits_u32_rows(adj_j)
+    for k in (1, 5, core.max()):
+        mask = np.asarray(kcore_mask_from_bits(bits, 96, jnp.asarray(k, jnp.int32)))
+        assert np.array_equal(mask, core >= k), k

@@ -157,3 +157,30 @@ def test_large_sharded_blocked_bits_path_on_mesh(rng):
     )
     cos = (np.trace(r_true.T @ np.asarray(blocked.solution.rotation, np.float64)) - 1) / 2
     assert np.degrees(np.arccos(np.clip(cos, -1, 1))) < 0.5
+
+
+def test_solve_large_exact_recovers_exact_inlier_clique(rng):
+    """solve_large_exact: heuristic LB -> (lb-1)-core prune -> host exact
+    B&B -> exact clique mask. On a planted problem the exact maximum clique
+    IS the true inlier set (all inliers are mutually TRIM-consistent and
+    dominate any outlier clique)."""
+    from teaserpp_tpu.parallel.sharded import solve_large_exact
+
+    n = 512
+    src, dst, s, r_true, t_true, _ = make_registration_problem(
+        rng, n=n, outlier_ratio=0.85, noise=0.0005
+    )
+    params = RobustRegistrationSolverParams(
+        noise_bound=0.002,
+        estimate_scaling=False,
+        inlier_selection_mode=InlierSelectionMode.KCORE_HEU,
+        kcore_heuristic_threshold=0.0,
+    )
+    mesh = Mesh(np.array(jax.devices()), ("pairs",))
+    res = solve_large_exact(src, dst, params, mesh, num_threads=2)
+    assert bool(res.solution.valid)
+    assert angular_error(np.asarray(res.solution.rotation), r_true) < 0.05
+    assert translation_error(np.asarray(res.solution.translation), t_true) < 0.01
+    # exact clique must be at least the heuristic's (it is provably maximum)
+    heu = solve_large_sharded(src, dst, params, mesh, subgraph_size=256)
+    assert int(res.clique_size) >= int(heu.clique_size)
