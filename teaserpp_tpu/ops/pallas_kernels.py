@@ -118,30 +118,34 @@ def _trim_bits_kernel(
     j = pl.program_id(1)
     c = src_c.shape[-1]
 
-    def pdist(tr, tc):
+    def pdist2(tr, tc):
         dx = tr[:, 0:1] - tc[0:1, :]
         dy = tr[:, 1:2] - tc[1:2, :]
         dz = tr[:, 2:3] - tc[2:3, :]
-        return jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        return dx * dx + dy * dy + dz * dz
 
-    ds = pdist(srcT_r[:], src_c[:])
-    dd = pdist(dstT_r[:], dst_c[:])
-    pred = jnp.abs(ds - dd) <= beta
+    ds = pdist2(srcT_r[:], src_c[:])
+    dd = pdist2(dstT_r[:], dst_c[:])
+    # sqrt-free TRIM predicate (ops/tims.py::trim_pred_sq, same op order so
+    # the packed words stay bit-identical to the XLA stripe path)
+    b2 = beta * beta
+    s = ds + dd
+    d = ds - dd
+    pred = (s <= b2) | (d * d <= b2 * (2.0 * s - b2))
 
     row_idx = i * rows + jax.lax.broadcasted_iota(jnp.int32, (rows, c), 0)
     col_idx = j * c + jax.lax.broadcasted_iota(jnp.int32, (rows, c), 1)
     pred = pred & (row_idx != col_idx) & (row_idx < n)
 
     # pack: shift each row's bit to its position within its 32-row word,
-    # then sum each 32-row band into one uint32 lane vector
-    shift = (
-        jax.lax.broadcasted_iota(jnp.uint32, (rows, c), 0) % jnp.uint32(32)
-    )
-    bits = pred.astype(jnp.uint32) << shift
+    # then sum each 32-row band into one word per lane. Mosaic has no
+    # unsigned reductions, so accumulate in int32 (two's-complement addition
+    # of disjoint powers of two is bitwise identical) and bitcast out.
+    shift = jax.lax.broadcasted_iota(jnp.int32, (rows, c), 0) % 32
+    bits = pred.astype(jnp.int32) << shift
     for w in range(rows // 32):
-        out_ref[w, :] = jnp.sum(
-            bits[32 * w : 32 * (w + 1), :], axis=0, dtype=jnp.uint32
-        )
+        word = jnp.sum(bits[32 * w : 32 * (w + 1), :], axis=0)
+        out_ref[w, :] = jax.lax.bitcast_convert_type(word, jnp.uint32)
 
 
 @functools.partial(jax.jit, static_argnames=("beta", "rows", "cols"))

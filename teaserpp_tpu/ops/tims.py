@@ -74,6 +74,23 @@ def compute_tim_norms(v: jnp.ndarray, use_matmul: bool = False) -> jnp.ndarray:
     return jnp.sqrt(jnp.sum(tims * tims, axis=-2))
 
 
+def trim_pred_sq(d2s: jnp.ndarray, d2d: jnp.ndarray, beta: float) -> jnp.ndarray:
+    """Sqrt-free TRIM consistency predicate on SQUARED distances.
+
+    ``|sqrt(a) - sqrt(b)| <= beta``  ⟺  ``a + b <= beta^2  OR
+    (a - b)^2 <= beta^2 (2 (a + b) - beta^2)`` (square the rearranged
+    inequality ``a + b - beta^2 <= 2 sqrt(ab)``; the first clause covers the
+    region where the left side is negative). Removes the two VPU ``sqrt``s
+    per pair from the O(N^2) adjacency build (reference registration.cc:427
+    compares root distances directly). Exact in real arithmetic; f32
+    rounding differs from the sqrt form only at threshold-boundary pairs.
+    """
+    b2 = beta * beta
+    s = d2s + d2d
+    d = d2s - d2d
+    return (s <= b2) | (d * d <= b2 * (2.0 * s - b2))
+
+
 def trim_adjacency_dense(
     src: jnp.ndarray,
     dst: jnp.ndarray,
@@ -102,15 +119,15 @@ def trim_adjacency_dense(
 
     if use_matmul:
 
-        def pdist(v):
+        def pdist2(v):
             sq = jnp.sum(v * v, axis=-2)
             gram = jnp.einsum("...dn,...dm->...nm", v, v)
             d2 = sq[..., :, None] + sq[..., None, :] - 2.0 * gram
-            return jnp.sqrt(jnp.maximum(d2, 0.0))
+            return jnp.maximum(d2, 0.0)
 
     else:
 
-        def pdist(v):
+        def pdist2(v):
             # unrolled per-axis form: no reduce op anywhere, so XLA keeps the
             # whole chain (distances -> compare -> mask consumers) in ONE
             # elementwise fusion — a sum(axis) reduce would materialize each
@@ -120,12 +137,12 @@ def trim_adjacency_dense(
             dx = x[..., :, None] - x[..., None, :]
             dy = y[..., :, None] - y[..., None, :]
             dz = z[..., :, None] - z[..., None, :]
-            return jnp.sqrt(dx * dx + dy * dy + dz * dz)
+            return dx * dx + dy * dy + dz * dz
 
-    ds = pdist(src)
-    dd = pdist(dst)
+    ds = pdist2(src)
+    dd = pdist2(dst)
     n = src.shape[-1]
-    adj = jnp.abs(ds - dd) <= beta
+    adj = trim_pred_sq(ds, dd, beta)
     adj = adj & ~jnp.eye(n, dtype=bool)
     if valid is not None:
         adj = adj & valid[..., None, :] & valid[..., :, None]
@@ -168,17 +185,17 @@ def trim_adjacency_bits(
         rows_s = jax.lax.dynamic_slice(src_p, (zero, i0), (3, block))  # (3, B)
         rows_d = jax.lax.dynamic_slice(dst_p, (zero, i0), (3, block))
 
-        def pd(rows, full):
+        def pd2(rows, full):
             # per-axis elementwise (no reduce) so the stripe fuses end to end
             dx = rows[0, :, None] - full[0, None, :]
             dy = rows[1, :, None] - full[1, None, :]
             dz = rows[2, :, None] - full[2, None, :]
-            return jnp.sqrt(dx * dx + dy * dy + dz * dz)
+            return dx * dx + dy * dy + dz * dz
 
-        ds = pd(rows_s, src.astype(jnp.float32))
-        dd = pd(rows_d, dst.astype(jnp.float32))
+        ds = pd2(rows_s, src.astype(jnp.float32))
+        dd = pd2(rows_d, dst.astype(jnp.float32))
         row_idx = i0 + jnp.arange(block, dtype=jnp.int32)
-        blk = (jnp.abs(ds - dd) <= beta)
+        blk = trim_pred_sq(ds, dd, beta)
         blk = blk & (row_idx[:, None] != col_idx[None, :])
         blk = blk & (row_idx[:, None] < n)
         return pack_bits_u32_rows(blk)  # (B/32, N)

@@ -72,7 +72,7 @@ def _large_registration_impl(
         # level-by-level peel (one pass per degeneracy level, ~600 at
         # N=100K) is replaced by the binary-search max-core (~40x fewer
         # bitset passes); ranking falls back to degree for the tail slots.
-        adj_bits = trim_adjacency_bits(src, dst, params.noise_bound, params.cbar2)
+        adj_bits = _adjacency_bits_fast(src, dst, params, pairs_sharding)
         if pairs_sharding is not None:
             adj_bits = jax.lax.with_sharding_constraint(adj_bits, pairs_sharding)
         top_mask, max_core = max_core_from_bits(adj_bits, n)
@@ -125,6 +125,30 @@ def _large_registration_jit(
     )
 
 
+def _adjacency_bits_fast(src, dst, params, pairs_sharding):
+    """Row-packed TRIM bitset, picking the fastest single-chip builder.
+
+    The fused Pallas stripe kernel beats the ``lax.map`` XLA path by ~1.25x
+    at N=100K on a v5e chip (scripts/tune_adj_pallas.py) but is a
+    single-device kernel: the SPMD partitioner cannot split a ``pallas_call``
+    along the sharded column axis, so any multi-device (``pairs_sharding``)
+    run and every non-TPU backend stays on the XLA path.
+    """
+    n = src.shape[-1]
+    if pairs_sharding is None and n >= 65536 and jax.default_backend() in (
+        "tpu", "axon",
+    ):
+        import math
+
+        from teaserpp_tpu.ops.pallas_kernels import trim_adjacency_bits_pallas
+
+        beta = 2.0 * params.noise_bound * math.sqrt(params.cbar2)
+        return trim_adjacency_bits_pallas(
+            src.astype(jnp.float32), dst.astype(jnp.float32), beta
+        )
+    return trim_adjacency_bits(src, dst, params.noise_bound, params.cbar2)
+
+
 @functools.partial(
     jax.jit, static_argnames=("params", "pairs_sharding")
 )
@@ -133,7 +157,7 @@ def _kcore_prune_jit(src, dst, params, k, pairs_sharding):
     from teaserpp_tpu.clique.kcore import kcore_mask_from_bits
 
     n = src.shape[-1]
-    adj_bits = trim_adjacency_bits(src, dst, params.noise_bound, params.cbar2)
+    adj_bits = _adjacency_bits_fast(src, dst, params, pairs_sharding)
     if pairs_sharding is not None:
         adj_bits = jax.lax.with_sharding_constraint(adj_bits, pairs_sharding)
     return kcore_mask_from_bits(adj_bits, n, k)

@@ -117,6 +117,40 @@ def test_empty_and_trivial_graphs():
     assert len(res) <= 1
 
 
+def test_trim_pred_sq_matches_sqrt_form(rng):
+    """Sqrt-free TRIM predicate == |sqrt(a)-sqrt(b)| <= beta, incl. boundary.
+
+    The adjacency builders compare SQUARED distances via trim_pred_sq to keep
+    the O(N^2) fusion transcendental-free; this pins the algebraic identity
+    (reference registration.cc:427 compares root distances directly).
+    """
+    import jax.numpy as jnp
+    from teaserpp_tpu.ops.tims import trim_pred_sq
+
+    beta = 0.037
+    # random magnitudes across scales + an exact boundary scan: b such that
+    # sqrt(b) = sqrt(a) +- beta (predicate boundary) +- tiny offsets
+    a = np.concatenate([
+        10.0 ** rng.uniform(-8, 4, size=4000),
+        np.zeros(4),
+        np.full(4, beta * beta),
+    ])
+    db = rng.choice([-1.0, 1.0], size=a.shape) * beta
+    eps = rng.choice([-1e-9, 0.0, 1e-9], size=a.shape)
+    b = np.maximum(np.sqrt(a) + db + eps, 0.0) ** 2
+    # plus fully random b
+    a = np.concatenate([a, 10.0 ** rng.uniform(-8, 4, size=4000)])
+    b = np.concatenate([b, 10.0 ** rng.uniform(-8, 4, size=4000)])
+
+    ref = np.abs(np.sqrt(a) - np.sqrt(b)) <= beta
+    got = np.asarray(trim_pred_sq(jnp.asarray(a), jnp.asarray(b), beta))
+    # identical except within f64 rounding of the exact boundary
+    disagree = ref != got
+    if disagree.any():
+        margin = np.abs(np.abs(np.sqrt(a) - np.sqrt(b)) - beta)
+        assert margin[disagree].max() < 1e-12
+
+
 def test_trim_adjacency_bits_matches_dense(rng):
     """Row-blocked packed adjacency == pack(dense adjacency), odd N/blocks."""
     import jax.numpy as jnp
