@@ -46,11 +46,14 @@ nb = 0.03
 
 if "n1000" in sys.argv:
     n = 1000
+    rank = next((int(a.split("=")[1]) for a in sys.argv if a.startswith("rank=")), 256)
     r, v1, v2, theta = make_problem(rng, n, nb)
     params = DRSCertifierParams(
         noise_bound=nb, max_iterations=200,
         eig_decomposition_solver=EigSolverType.ITERATIVE,
+        psd_projection_rank=rank,
     )
+    print(f"N=1000 rank={rank}", flush=True)
     cert = DRSCertifier(params)
     t0 = time.time()
     res = cert.certify(r, v1, v2, theta)
