@@ -67,7 +67,9 @@ if "n1000" in sys.argv:
     print(f"N=1000 warm: {t1 - t0:.1f}s best={res2.best_suboptimality:.3e}", flush=True)
     sys.exit(0)
 
-# batched N=100 throughput
+# batched N=100 throughput. certify_batch auto-chunks to vmap width 4 on
+# the axon backend (width-8 f64-emulated programs crash the TPU worker —
+# see certify_batch docstring), so batch 8 = 2 executions of one program.
 batch = 8
 n = 100
 probs = [make_problem(rng, n, nb) for _ in range(batch)]

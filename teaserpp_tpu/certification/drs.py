@@ -635,12 +635,18 @@ def certify_batch(
     dst_tims,
     thetas,
     params: Optional[DRSCertifierParams] = None,
+    max_device_batch: Optional[int] = None,
 ):
     """Certify a batch of rotation solutions in one device program.
 
     Args:
       rotations: (B, 3, 3); src_tims/dst_tims: (B, 3, N); thetas: (B, N) of
         +-1 (or bool).
+      max_device_batch: cap on the vmap width per device program; larger
+        batches run as equal-size chunks (last chunk padded). Default: 4 on
+        the tunneled-TPU ``axon`` backend — its double-word-f32 emulation of
+        the batched f64 eigh/cholesky programs has crashed the TPU worker at
+        vmap width 8 (verified stable at <= 4); unlimited elsewhere.
     Returns:
       list of :class:`CertificationResult` (host-materialized).
 
@@ -649,9 +655,35 @@ def certify_batch(
     """
     params = params or DRSCertifierParams()
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    rotations = np.asarray(rotations)
+    src_tims = np.asarray(src_tims)
+    dst_tims = np.asarray(dst_tims)
     thetas = np.asarray(thetas)
     if thetas.dtype == bool:
         thetas = np.where(thetas, 1.0, -1.0)
+
+    b = rotations.shape[0]
+    if max_device_batch is None and jax.default_backend() == "axon":
+        max_device_batch = 4
+    if max_device_batch and b > max_device_batch:
+        out: List[CertificationResult] = []
+        for s in range(0, b, max_device_batch):
+            e = min(s + max_device_batch, b)
+            pad = max_device_batch - (e - s)
+
+            def _pad(a):
+                if not pad:
+                    return a[s:e]
+                return np.concatenate([a[s:e], np.repeat(a[s:s + 1], pad, 0)], 0)
+
+            out.extend(
+                certify_batch(
+                    _pad(rotations), _pad(src_tims), _pad(dst_tims),
+                    _pad(thetas), params, max_device_batch,
+                )[: e - s]
+            )
+        return out
+
     best, traj, iters, sat = _certify_batch_jit(
         jnp.asarray(rotations, dtype),
         jnp.asarray(src_tims, dtype),

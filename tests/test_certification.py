@@ -236,6 +236,19 @@ def test_certify_batch_matches_single(rng):
             batched[b].best_suboptimality - single.best_suboptimality
         ) < 1e-9
 
+    # chunked device dispatch (max_device_batch, with a padded last chunk)
+    # must return identical results in the original order
+    chunked = certify_batch(
+        np.stack(rotations), np.stack(srcs), np.stack(dsts), np.stack(thetas),
+        params, max_device_batch=2,
+    )
+    assert len(chunked) == batch
+    for b in range(batch):
+        assert chunked[b].is_optimal == batched[b].is_optimal
+        assert (
+            chunked[b].best_suboptimality == batched[b].best_suboptimality
+        )
+
 
 LARGE_CASES_DIR = os.path.join(REFERENCE_DATA, "certification_large_instances")
 LARGE_CASES = (
