@@ -78,6 +78,11 @@ def main(batch=256, n=256, outlier_ratio=0.9):
           f"max {np.degrees(np.max(errs)):.4f} deg")
     save_batch_results("/tmp/batch_results.npz", sol)
     print("results saved to /tmp/batch_results.npz")
+    return {
+        "median_rot_err_deg": float(np.degrees(np.median(errs))),
+        "max_rot_err_deg": float(np.degrees(np.max(errs))),
+        "regs_per_sec": batch / dt,
+    }
 
 
 if __name__ == "__main__":

@@ -63,12 +63,12 @@ def make_bunny_problem(seed=0, n_outliers=N_OUTLIERS, noise_bound=NOISE_BOUND):
     return src, tgt, mask
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="PMC_EXACT",
                     choices=["PMC_EXACT", "PMC_HEU", "KCORE_HEU", "NONE"])
     ap.add_argument("--seed", type=int, default=0)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     src, tgt, outlier_mask = make_bunny_problem(seed=args.seed)
     params = RobustRegistrationSolverParams(
@@ -96,6 +96,11 @@ def main():
     print(f"correspondences: {src.shape[1]}, injected outliers: {outlier_mask.sum()}")
     print(f"max clique size: {len(solver.getInlierMaxClique())}")
     print(f"time taken (s): {dt:.4f}")
+    return {
+        "valid": bool(solution.valid),
+        "rot_err_deg": float(np.degrees(r_err)),
+        "trans_err_m": float(t_err),
+    }
 
 
 if __name__ == "__main__":

@@ -40,7 +40,8 @@ SAMPLE = "/root/reference/examples/example_data/3dmatch_sample"
 NOISE = 0.01
 
 
-def main():
+def main(n_keypoints=None):
+    # ``n_keypoints`` subsamples the keypoint set (smoke-test mode)
     cloud = read_ply(f"{SAMPLE}/cloud_bin_2.ply").as_matrix()  # (3, N)
     kp_idx = np.genfromtxt(
         f"{SAMPLE}/01_Keypoints/cloud_bin_2Keypoints.txt"
@@ -48,6 +49,9 @@ def main():
     desc = np.load(
         f"{SAMPLE}/cloud_bin_2.ply_0.150000_16_1.750000_3DSmoothNet.npz"
     )["data"]  # (5000, 32)
+    if n_keypoints is not None:
+        kp_idx = kp_idx[:n_keypoints]
+        desc = desc[:n_keypoints]
     keypts = cloud[:, kp_idx]  # (3, 5000)
     print(f"fragment 2: {cloud.shape[1]} points, {keypts.shape[1]} keypoints, "
           f"{desc.shape[1]}-D descriptors")
@@ -103,6 +107,12 @@ def main():
     print(f"after ICP:    rot err {rotation_error_deg(r_icp, r_true):.4f} deg, "
           f"trans err {translation_error(np.asarray(icp.translation, np.float64), t_true):.6f} m "
           f"(fitness {float(icp.fitness):.3f})")
+    return {
+        "valid": bool(sol.valid),
+        "teaser_rot_err_deg": float(rotation_error_deg(sol.rotation, r_true)),
+        "icp_rot_err_deg": float(rotation_error_deg(r_icp, r_true)),
+        "n_corr": len(corr),
+    }
 
 
 if __name__ == "__main__":

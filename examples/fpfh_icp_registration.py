@@ -34,8 +34,9 @@ from teaserpp_tpu.utils.metrics import rotation_error_deg, translation_error
 from bunny_registration import BUNNY_PLY, T, NOISE_BOUND
 
 
-def main():
-    src = read_ply(BUNNY_PLY).as_matrix()
+def main(stride=1):
+    # ``stride`` subsamples the cloud (smoke-test mode; 1 = full example)
+    src = read_ply(BUNNY_PLY).as_matrix()[:, ::stride]
     rng = np.random.default_rng(0)
     r_true, t_true = T[:3, :3], T[:3, 3]
     dst = r_true @ src + t_true[:, None]
@@ -82,6 +83,14 @@ def main():
           f"trans err {translation_error(t_icp_vec, t_true):.6f} m  "
           f"(rmse {float(icp.rmse):.2e}, fitness {float(icp.fitness):.3f}, "
           f"{int(icp.iterations)} iters, {t_icp:.2f}s)")
+
+
+    return {
+        "teaser_rot_err_deg": float(rotation_error_deg(sol.rotation, r_true)),
+        "icp_rot_err_deg": float(rotation_error_deg(r_icp, r_true)),
+        "icp_trans_err_m": float(translation_error(t_icp_vec, t_true)),
+        "fitness": float(icp.fitness),
+    }
 
 
 if __name__ == "__main__":

@@ -32,8 +32,9 @@ from teaserpp_tpu.utils.metrics import angular_error, translation_error
 from bunny_registration import BUNNY_PLY, T, NOISE_BOUND
 
 
-def main():
-    src = read_ply(BUNNY_PLY).as_matrix()
+def main(stride=1):
+    # ``stride`` subsamples the cloud (smoke-test mode; 1 = full example)
+    src = read_ply(BUNNY_PLY).as_matrix()[:, ::stride]
     rng = np.random.default_rng(0)
     dst = T[:3, :3] @ src + T[:3, 3:4]
     dst += rng.uniform(-NOISE_BOUND / 2, NOISE_BOUND / 2, size=dst.shape)
@@ -70,6 +71,12 @@ def main():
     print(f"rotation error (deg): {np.degrees(angular_error(sol.rotation, T[:3, :3])):.6f}")
     print(f"translation error (m): {translation_error(sol.translation, T[:3, 3]):.6f}")
     print(f"feature+match time (s): {t_feat:.3f}  solve time (s): {t_solve:.3f}")
+    return {
+        "valid": bool(sol.valid),
+        "rot_err_deg": float(np.degrees(angular_error(sol.rotation, T[:3, :3]))),
+        "trans_err_m": float(translation_error(sol.translation, T[:3, 3])),
+        "n_corr": len(corr),
+    }
 
 
 if __name__ == "__main__":

@@ -68,6 +68,12 @@ def main(n=10000, outlier_ratio=0.97):
     print(f"rotation error (deg): {np.degrees(angular_error(np.asarray(sol.rotation), q)):.4f}")
     print(f"translation error (m): {translation_error(np.asarray(sol.translation), t):.5f}")
     print(f"solve wall time (s): {dt:.3f}")
+    return {
+        "valid": bool(sol.valid),
+        "rot_err_deg": float(np.degrees(angular_error(np.asarray(sol.rotation), q))),
+        "trans_err_m": float(translation_error(np.asarray(sol.translation), t)),
+        "clique_size": int(res.clique_size),
+    }
 
 
 if __name__ == "__main__":

@@ -112,6 +112,12 @@ print(f"object->scene NN alignment  FLANN golden: median {med_ref:.5f} m, "
 assert med_ours <= med_ref * 1.05 + 1e-4, (
     "exact-NN correspondences register WORSE than the FLANN golden set"
 )
+# loose pose sanity bounds alongside the NN-alignment arbiter (ADVICE r2):
+# NN alignment alone could accept a grossly wrong pose that parks the object
+# on other dense scene geometry; the two valid solutions here differ by a
+# few degrees (shallow single-view geometry), never tens.
+assert rot_diff_deg < 10.0, f"pose rotation diverged: {rot_diff_deg:.2f} deg"
+assert trans_diff < 0.1, f"pose translation diverged: {trans_diff:.4f} m"
 print("REGISTRATION-LEVEL MATCHER EQUIVALENCE: OK "
       f"(ours {med_ours:.5f} m vs golden {med_ref:.5f} m median NN)", flush=True)
 

@@ -45,9 +45,15 @@ class CertificationResult:
     is_optimal: bool = False
     best_suboptimality: float = float("inf")
     suboptimality_traj: List[float] = dataclasses.field(default_factory=list)
-    # ITERATIVE mode only: True when the shift-invert subspace rank was
-    # exhausted by negative eigenvalues at some iteration (projection may
-    # have been partial; raise DRSCertifierParams.psd_projection_rank).
+    # ITERATIVE mode only: True when the run FAILED to certify AND the PSD
+    # projection was provably incomplete at some DRS iteration (a Cholesky
+    # of m_psd + eps*I failed — negative eigenvalue mass was missed, from
+    # insufficient subspace rank or an unconverged basis), i.e. the
+    # non-certificate may be pessimistic. Certified results always report
+    # False: every is_optimal=True is Cholesky-PROVEN at issue time, so
+    # incidental projection partiality along the way is immaterial.
+    # DRSCertifier.certify/certify_batch re-enter saturated uncertified runs
+    # with a doubled psd_projection_rank automatically.
     rank_saturated: bool = False
 
     def __repr__(self) -> str:
@@ -359,7 +365,10 @@ def _chol_shifted(sym: jnp.ndarray, sigma0: jnp.ndarray):
 
     def cond(state):
         sigma, c, ok, tries = state
-        return jnp.logical_and(jnp.logical_not(ok), tries < 4)
+        # 12 retries guarantee success from any |sigma0| >= 1e-9 * g:
+        # 8^12 * 1e-9 ~ 69, and |lambda_min| <= g (Gershgorin), so the shift
+        # always ends below the spectrum.
+        return jnp.logical_and(jnp.logical_not(ok), tries < 12)
 
     def body(state):
         sigma, c, ok, tries = state
@@ -377,7 +386,10 @@ def _shift_sigma(sym: jnp.ndarray, lam_prev: jnp.ndarray) -> jnp.ndarray:
     """Shift safely below lambda_min from the previous iterate's estimate."""
     # Gershgorin radius as the absolute-slack scale (cheap |lambda| bound)
     g = jnp.max(jnp.sum(jnp.abs(sym), axis=-1))
-    return 3.0 * jnp.minimum(lam_prev, 0.0) - 1e-9 * g - 1e-12
+    # sanitize: a NaN-poisoned or positive stale estimate must not produce a
+    # NaN/degenerate shift (the retry loop then recovers from -1e-9 g alone)
+    lam = jnp.where(jnp.isnan(lam_prev), -g, jnp.minimum(lam_prev, 0.0))
+    return 3.0 * lam - 1e-9 * g - 1e-12
 
 
 def _si_psd_step(
@@ -408,7 +420,19 @@ def _si_psd_step(
     v = v @ w
     clip = jnp.minimum(lam_t, 0.0)
     m_psd = sym - (v * clip) @ v.T
-    saturated = lam_t[-1] < 0  # every Ritz value negative: rank too small
+    # Completeness proof for the projection: if no negative eigenvalue was
+    # missed, m_psd is PSD up to rounding, and a successful Cholesky of
+    # m_psd + eps*I proves it. Failure means the subspace missed negative
+    # mass — whether from insufficient rank or an unconverged basis — and
+    # the caller's ``rank_saturated``/adaptive-growth machinery reacts. (The
+    # old "every Ritz value negative" test had false negatives: at rank 32
+    # with ~31 negatives captured and more missed, one positive Ritz value
+    # said nothing about completeness.)
+    g = jnp.max(jnp.sum(jnp.abs(sym), axis=-1))
+    npm = sym.shape[-1]
+    eps = 1e-8 * g
+    chol = jnp.linalg.cholesky(m_psd + eps * jnp.eye(npm, dtype=sym.dtype))
+    saturated = jnp.any(jnp.isnan(chol))
     return m_psd, v, lam_t[0], saturated
 
 
@@ -482,8 +506,7 @@ def _certify_core_iterative(
     j_bar = jnp.zeros((npm, npm), dtype).at[:4, :4].set(jnp.eye(4, dtype=dtype))
     m_init = q_bar - mu * j_bar - lambda_bar_init
 
-    k = params.psd_projection_rank or max(16, npm // 4)
-    k = min(k, npm)
+    k = _resolved_rank(params, npm)
     k_gap = min(8, npm)
     n_solve = params.psd_projection_solves
 
@@ -508,15 +531,38 @@ def _certify_core_iterative(
         temp_w = 2.0 * m_psd - m - m_init
         w_dual = optimal_dual_projection(temp_w, theta_prepended, i_idx, j_idx)
         m_affine = m_init + w_dual
-        lam_aff, v_gap = _si_min_eig(
-            (m_affine + m_affine.T) / 2, v_gap, lam_gap, n_solve
-        )
+        sym_aff = (m_affine + m_affine.T) / 2
+        lam_aff, v_gap = _si_min_eig(sym_aff, v_gap, lam_gap, n_solve)
         lam_gap = lam_aff
         gap = (-lam_aff * (n + 1)) / mu
         gap = jnp.where(lam_aff > 0, jnp.zeros_like(gap), gap)
+        # Certificate soundness gate: Rayleigh-Ritz OVER-estimates lambda_min
+        # (Ritz values interlace), so an unconverged gap subspace errs on
+        # exactly the wrong side — it can report gap ~ 0 while the true gap
+        # is large (a false certificate). Before accepting gap < threshold,
+        # PROVE lambda_min >= -threshold * mu / (n+1): a successful Cholesky
+        # of sym_aff + thresh*I is such a proof. Disproven estimates are
+        # clamped just above the threshold so ``best`` can never certify
+        # from an unverified value; estimates above the threshold are left
+        # as-is (they never certify, so they need no proof).
+        candidate = gap < params.sub_optimality
+        thresh = params.sub_optimality * mu / (n + 1.0)
+        eye = jnp.eye(sym_aff.shape[-1], dtype=sym_aff.dtype)
+        proven = jax.lax.cond(
+            candidate,
+            lambda: jnp.logical_not(
+                jnp.any(jnp.isnan(jnp.linalg.cholesky(sym_aff + thresh * eye)))
+            ),
+            lambda: jnp.asarray(False),
+        )
+        gap = jnp.where(
+            candidate & jnp.logical_not(proven),
+            jnp.asarray(params.sub_optimality * (1.0 + 1e-6), gap.dtype),
+            gap,
+        )
         best = jnp.minimum(best, gap)
         traj = traj.at[it].set(gap)
-        done = gap < params.sub_optimality
+        done = candidate & proven
         m = jnp.where(done, m, m + params.gamma_tau * (m_affine - m_psd))
         return it + 1, m, best, traj, done, v_psd, lam_psd, v_gap, lam_gap, sat
 
@@ -609,6 +655,12 @@ def _certify_core(
     return best, traj, it
 
 
+def _resolved_rank(params: DRSCertifierParams, npm: int) -> int:
+    """The shift-invert subspace rank actually used at problem size npm."""
+    k = params.psd_projection_rank or max(16, npm // 4)
+    return min(k, npm)
+
+
 def _certify_dispatch(r, src, dst, theta, params: DRSCertifierParams):
     """Static dispatch between the dense and shift-invert DRS cores.
 
@@ -695,15 +747,37 @@ def certify_batch(
     iters = np.asarray(iters)
     traj = np.asarray(traj)
     sat = np.asarray(sat)
-    return [
+    results = [
         CertificationResult(
             is_optimal=bool(best[b] < params.sub_optimality),
             best_suboptimality=float(best[b]),
             suboptimality_traj=[float(v) for v in traj[b, : iters[b]]],
-            rank_saturated=bool(sat[b]),
+            # certified results are proven; saturation only matters (and is
+            # only reported) when the run failed to certify
+            rank_saturated=bool(sat[b]) and not bool(best[b] < params.sub_optimality),
         )
         for b in range(len(best))
     ]
+    # Adaptive rank growth: a saturated subspace means the PSD projection may
+    # have been partial — re-enter the saturated problems with a doubled rank
+    # instead of silently reporting a possibly-wrong certificate.
+    if params.eig_decomposition_solver == EigSolverType.ITERATIVE:
+        npm = 4 * src_tims.shape[-1] + 4
+        k = _resolved_rank(params, npm)
+        sat_idx = [
+            i
+            for i, res in enumerate(results)
+            if res.rank_saturated and not res.is_optimal
+        ]
+        if sat_idx and k < npm:
+            grown = params.replace(psd_projection_rank=min(2 * k, npm))
+            redo = certify_batch(
+                rotations[sat_idx], src_tims[sat_idx], dst_tims[sat_idx],
+                thetas[sat_idx], grown, max_device_batch,
+            )
+            for i, res in zip(sat_idx, redo):
+                results[i] = res
+    return results
 
 
 class DRSCertifier:
@@ -738,15 +812,39 @@ class DRSCertifier:
         dst_d = jnp.asarray(dst, dtype)
         theta_d = jnp.asarray(theta, dtype)
 
-        best, traj, iters, sat = _certify_jit(
-            r, src_d, dst_d, theta_d, self.params
-        )
+        params = self.params
+        npm = 4 * src_d.shape[-1] + 4
+        while True:
+            best, traj, iters, sat = _certify_jit(
+                r, src_d, dst_d, theta_d, params
+            )
+            sat_b = bool(sat)
+            # is_optimal certificates are Cholesky-PROVEN inside the loop, so
+            # saturation (a possibly-partial projection at some iteration)
+            # can only have slowed convergence, never faked the certificate —
+            # escalate the rank only when the run failed to certify.
+            if (
+                not sat_b
+                or bool(best < params.sub_optimality)
+                or params.eig_decomposition_solver != EigSolverType.ITERATIVE
+            ):
+                break
+            # Adaptive rank growth (no silent partial projections): the
+            # shift-invert subspace filled up with negative eigenvalues, so
+            # the PSD projection may have been partial — re-enter with 2x
+            # the rank until it fits or the subspace is the full space.
+            k = _resolved_rank(params, npm)
+            if k >= npm:
+                break  # full space: saturation here means genuinely indefinite
+            params = params.replace(psd_projection_rank=min(2 * k, npm))
+
         best = float(best)
         iters = int(iters)
         traj_np = np.asarray(traj)[:iters]
+        is_optimal = best < params.sub_optimality
         return CertificationResult(
-            is_optimal=best < self.params.sub_optimality,
+            is_optimal=is_optimal,
             best_suboptimality=best,
             suboptimality_traj=[float(v) for v in traj_np],
-            rank_saturated=bool(sat),
+            rank_saturated=sat_b and not is_optimal,
         )

@@ -1,12 +1,22 @@
 """Pallas TPU kernels for the O(N^2) hot paths.
 
-``trim_adjacency_pallas`` fuses the whole TRIM consistency test
-(reference registration.cc:427-443 applied to every pair, i.e. the
-inlier-graph construction of registration.cc:609-619) into one kernel:
-for each (i, j) tile it computes the two pairwise-distance tiles on the MXU
-and emits the boolean consistency mask — the two N x N distance matrices are
-never materialized in HBM, only the final one-byte mask is, cutting HBM
-traffic ~8x vs the XLA path at large N.
+Two kernels live here, with very different status:
+
+* ``trim_adjacency_bits_pallas`` — **load-bearing**. The production huge-N
+  adjacency builder (``parallel/sharded.py::_adjacency_bits_fast``)
+  dispatches to it at N >= 65536 single-device on TPU: distances ->
+  sqrt-free TRIM predicate -> in-VMEM 32-row bit-pack, 1.25x faster than
+  the ``lax.map`` XLA stripe path at N=100K and bit-identical to it
+  (PERFORMANCE.md "Huge-N Pallas bits kernel wins").
+* ``trim_adjacency_pallas`` — reference/benchmark kernel only, on no hot
+  path. It emits the dense int8 mask; the reduce-free per-axis XLA
+  formulation achieves the same zero-materialization fusion with better
+  codegen (its K=8 dot_general underutilizes the MXU), so the batched
+  pipeline uses that instead (PERFORMANCE.md "adjacency lesson"). Kept as
+  the MXU-tiled exemplar and exercised by the interpret-mode tests.
+
+The TRIM test itself is reference registration.cc:427-443 applied to every
+pair, i.e. the inlier-graph construction of registration.cc:609-619.
 
 Points are laid out (3, N): the 3-axis sits on sublanes (padded to 8) and N
 on lanes, so every tile is (8, T)-aligned per the f32 tiling constraint.
@@ -15,6 +25,7 @@ on lanes, so every tile is (8, T)-aligned per the f32 tiling constraint.
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 import jax
@@ -144,7 +155,9 @@ def _trim_bits_kernel(
     shift = jax.lax.broadcasted_iota(jnp.int32, (rows, c), 0) % 32
     bits = pred.astype(jnp.int32) << shift
     for w in range(rows // 32):
-        word = jnp.sum(bits[32 * w : 32 * (w + 1), :], axis=0)
+        # dtype pinned: under x64 (interpret-mode tests) jnp.sum would
+        # otherwise promote to int64 and the bitcast would widen
+        word = jnp.sum(bits[32 * w : 32 * (w + 1), :], axis=0, dtype=jnp.int32)
         out_ref[w, :] = jax.lax.bitcast_convert_type(word, jnp.uint32)
 
 
@@ -166,7 +179,9 @@ def trim_adjacency_bits_pallas(
     [32 w + b, j].
     """
     n = src.shape[-1]
-    n_pad = _round_up(n, max(rows, cols))
+    # the grid needs n_pad divisible by BOTH tile extents (a max() only
+    # works when rows divides cols)
+    n_pad = _round_up(n, math.lcm(rows, cols))
     src_p = jnp.pad(src.astype(jnp.float32), ((0, 8 - 3), (0, n_pad - n)))
     dst_p = jnp.pad(dst.astype(jnp.float32), ((0, 8 - 3), (0, n_pad - n)))
     src_t = src_p.T  # (n_pad, 8): rows on sublanes
@@ -189,22 +204,3 @@ def trim_adjacency_bits_pallas(
     )(src_t, dst_t, src_p, dst_p)
     w = (n + 31) // 32
     return out[:w, :n]
-
-
-def trim_adjacency_auto(src, dst, noise_bound, cbar2=1.0, valid=None):
-    """TRIM adjacency: Pallas kernel on TPU, XLA fallback elsewhere."""
-    import math
-
-    beta = 2.0 * noise_bound * math.sqrt(cbar2)
-    backend = jax.default_backend()
-    if backend in ("tpu", "axon"):
-        adj = trim_adjacency_pallas(
-            jnp.asarray(src, jnp.float32), jnp.asarray(dst, jnp.float32), beta
-        ).astype(bool)
-    else:
-        from teaserpp_tpu.parallel.sharded import trim_adjacency_dense
-
-        adj = trim_adjacency_dense(src, dst, noise_bound, cbar2)
-    if valid is not None:
-        adj = adj & valid[None, :] & valid[:, None]
-    return adj

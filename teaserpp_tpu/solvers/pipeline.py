@@ -41,7 +41,11 @@ from teaserpp_tpu.solvers.rotation import (
 from teaserpp_tpu.solvers.translation import solve_translation_tls
 from teaserpp_tpu.clique.graph import adjacency_from_pair_mask
 from teaserpp_tpu.clique.heuristic import heuristic_max_clique
-from teaserpp_tpu.clique.kcore import core_numbers
+from teaserpp_tpu.clique.kcore import (
+    core_numbers,
+    max_core_from_bits,
+    pack_bits_u32_rows,
+)
 
 
 class ScaleStageResult(NamedTuple):
@@ -101,16 +105,23 @@ def device_clique_from_adjacency(
     n = adj.shape[-1]
     mode = params.resolved_inlier_selection_mode()
     if mode == InlierSelectionMode.KCORE_HEU:
-        core = core_numbers(adj, valid)
-        max_core = jnp.max(core)
-        kcore_mask = core >= max_core
         if params.kcore_heuristic_threshold <= 0:
             # threshold 0 = "always take the top k-core" (reference
             # registration.h:480-482) — statically skip the greedy search,
             # which matters because under vmap both sides of a data-dependent
-            # select would otherwise execute.
-            mask = kcore_mask
+            # select would otherwise execute. Only the TOP core is needed, so
+            # the level-by-level peel (one bitset pass per degeneracy level —
+            # hundreds for dense-clique graphs) is replaced by the
+            # binary-search max-core fixpoint (~log2(max_degree) probes,
+            # each converging in a few bulk-removal rounds over a
+            # monotonically shrinking active set). Identical mask: the max
+            # k-core IS the set of vertices with core number >= k_max.
+            adj_bits = pack_bits_u32_rows(adj)
+            mask, _ = max_core_from_bits(adj_bits, n, valid)
         else:
+            core = core_numbers(adj, valid)
+            max_core = jnp.max(core)
+            kcore_mask = core >= max_core
             nv = (
                 jnp.asarray(n, jnp.float32)
                 if valid is None

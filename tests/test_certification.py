@@ -355,3 +355,115 @@ def test_iterative_mode_matches_dense_synthetic(rng):
     assert not it.rank_saturated
     assert it.best_suboptimality < params.sub_optimality
     assert abs(it.best_suboptimality - dense.best_suboptimality) < 1e-3
+
+
+def _make_gnc_problem(rng, n, nb=0.03, n_out=None):
+    """Synthetic rotation problem solved by GNC-TLS -> (R, v1, v2, theta)."""
+    from teaserpp_tpu.solvers import solve_rotation_gnc_tls
+
+    v1 = rng.standard_normal((3, n))
+    a = rng.standard_normal((3, 3))
+    r0, _ = np.linalg.qr(a)
+    if np.linalg.det(r0) < 0:
+        r0[:, 0] *= -1
+    v2 = r0 @ v1 + rng.standard_normal((3, n)) * (nb / 4)
+    n_out = n // 4 if n_out is None else n_out
+    out_idx = rng.choice(n, n_out, replace=False)
+    v2[:, out_idx] = rng.standard_normal((3, n_out)) * 2
+    rot = solve_rotation_gnc_tls(jnp.asarray(v1), jnp.asarray(v2), nb)
+    theta = np.where(np.asarray(rot.inliers), 1.0, -1.0)
+    return np.asarray(rot.rotation), v1, v2, theta
+
+
+def test_iterative_rank_saturation_recovers(rng):
+    """A deliberately undersized shift-invert subspace must not ship a
+    partial projection: the adaptive re-entry (2x rank per round) has to
+    land the same certificate as the dense path, with rank_saturated=False
+    on the final result (VERDICT r2 #10)."""
+    import jax
+
+    from teaserpp_tpu.params import EigSolverType
+    from teaserpp_tpu.certification.drs import _certify_dispatch
+
+    nb = 0.03
+    r, v1, v2, theta = _make_gnc_problem(rng, 48, nb, n_out=12)
+
+    starved = DRSCertifierParams(
+        noise_bound=nb,
+        eig_decomposition_solver=EigSolverType.ITERATIVE,
+        psd_projection_rank=4,  # far below the negative count (~npm/8 = 24)
+    )
+    # the raw core at rank 4 must actually saturate, else this test is vacuous
+    _, _, _, sat_raw = jax.jit(_certify_dispatch, static_argnames=("params",))(
+        jnp.asarray(r), jnp.asarray(v1), jnp.asarray(v2),
+        jnp.asarray(theta), starved,
+    )
+    assert bool(sat_raw)
+
+    dense = DRSCertifier(DRSCertifierParams(noise_bound=nb)).certify(
+        r, v1, v2, theta
+    )
+    adaptive = DRSCertifier(starved).certify(r, v1, v2, theta)
+    assert adaptive.is_optimal == dense.is_optimal
+    assert abs(adaptive.best_suboptimality - dense.best_suboptimality) < 1e-3
+    # no silent partial projection: either the certificate was proven
+    # (Cholesky gate) or the escalation ran until the projection completed
+    assert adaptive.is_optimal or not adaptive.rank_saturated
+
+
+def test_iterative_gap_gate_blocks_false_certificate(rng):
+    """Regression for the unsound gap estimate: Rayleigh-Ritz OVER-estimates
+    lambda_min, so before the Cholesky proof gate a full-rank ITERATIVE run
+    on this instance reported gap 0 at iteration 13 (true gap ~2) — a false
+    certificate. With the gate, the full-rank run must track the dense path
+    (identical m trajectory, certificate only when proven)."""
+    import jax
+
+    from teaserpp_tpu.params import EigSolverType
+    from teaserpp_tpu.certification.drs import _certify_dispatch
+
+    nb = 0.03
+    r, v1, v2, theta = _make_gnc_problem(rng, 48, nb, n_out=12)
+    npm = 4 * 48 + 4
+
+    fn = jax.jit(_certify_dispatch, static_argnames=("params",))
+    args = (jnp.asarray(r), jnp.asarray(v1), jnp.asarray(v2), jnp.asarray(theta))
+    dense_p = DRSCertifierParams(noise_bound=nb)
+    bd, _, itd, _ = fn(*args, dense_p)
+    full_p = dense_p.replace(
+        eig_decomposition_solver=EigSolverType.ITERATIVE,
+        psd_projection_rank=npm,  # full space: exact projection
+    )
+    bi, _, iti, _ = fn(*args, full_p)
+    assert int(iti) == int(itd)  # same trajectory, same stopping point
+    assert abs(float(bi) - float(bd)) < 1e-6
+
+
+def test_certify_batch_rank_saturation_recovers(rng):
+    """certify_batch re-enters only the saturated problems with grown rank."""
+    from teaserpp_tpu.params import EigSolverType
+    from teaserpp_tpu.certification.drs import certify_batch
+
+    nb = 0.03
+    probs = [_make_gnc_problem(rng, 48, nb, n_out=12) for _ in range(3)]
+    rots = np.stack([p[0] for p in probs])
+    v1s = np.stack([p[1] for p in probs])
+    v2s = np.stack([p[2] for p in probs])
+    thetas = np.stack([p[3] for p in probs])
+
+    starved = DRSCertifierParams(
+        noise_bound=nb,
+        eig_decomposition_solver=EigSolverType.ITERATIVE,
+        psd_projection_rank=4,
+    )
+    results = certify_batch(rots, v1s, v2s, thetas, starved)
+    dense = [
+        DRSCertifier(DRSCertifierParams(noise_bound=nb)).certify(
+            rots[i], v1s[i], v2s[i], thetas[i]
+        )
+        for i in range(3)
+    ]
+    for got, ref in zip(results, dense):
+        assert got.is_optimal == ref.is_optimal
+        assert abs(got.best_suboptimality - ref.best_suboptimality) < 1e-3
+        assert got.is_optimal or not got.rank_saturated
