@@ -328,17 +328,12 @@ def suboptimality_gap(
     """
     sym = (m + m.T) / 2
     if solver == EigSolverType.ITERATIVE:
-        from jax.experimental.sparse.linalg import lobpcg_standard
-
-        npm = sym.shape[-1]
-        # lambda_min(sym) = shift - lambda_max(shift*I - sym); a Frobenius
-        # bound keeps the shifted operator PSD.
-        shift = jnp.sqrt(jnp.sum(sym * sym))
-        x0 = jnp.ones((npm, 1), sym.dtype) / jnp.sqrt(jnp.asarray(npm, sym.dtype))
-        theta, _, _ = lobpcg_standard(
-            shift * jnp.eye(npm, dtype=sym.dtype) - sym, x0, m=100
-        )
-        min_eig = shift - theta[0]
+        # Lanczos extremal Ritz value (96 matvecs + tridiagonal eigvalsh).
+        # LOBPCG was used here before but crashes / takes 14 min on the
+        # axon remote-compile worker at npm >= 2004 (PERFORMANCE.md "axon
+        # worker crash, root-caused"); Lanczos compiles tiny and its
+        # extremal convergence handles even continuum-edge spectra.
+        min_eig = _lam_min_init(sym, steps=96)
     else:
         eigvals = jnp.linalg.eigvalsh(sym)
         min_eig = eigvals[..., 0]
@@ -450,14 +445,52 @@ def _si_min_eig(
     return lam_t[0], v
 
 
-def _lam_min_init(sym: jnp.ndarray) -> jnp.ndarray:
-    """One-time lambda_min estimate to seed the shift-invert warm starts."""
-    from jax.experimental.sparse.linalg import lobpcg_standard
+def _lam_min_init(sym: jnp.ndarray, steps: int = 48) -> jnp.ndarray:
+    """One-time lambda_min estimate to seed the shift-invert warm starts.
 
+    Plain Lanczos (no reorthogonalization, basis never stored): ``steps``
+    matvecs under a ``fori_loop`` plus one (steps x steps) tridiagonal
+    ``eigvalsh`` — a tiny compile, unlike ``lobpcg_standard``, whose
+    emitted program is what crashed / took 14 minutes on the axon
+    remote-compile worker at npm >= 2004 (PERFORMANCE.md "axon worker
+    crash, root-caused"; every other component op of the ITERATIVE path —
+    cholesky/qr/cho_solve at npm = 4004 — compiles in seconds-to-minutes).
+    Kaniel-Paige convergence makes the extremal Ritz value tight after a
+    few dozen steps; it approaches lambda_min FROM ABOVE, and the caller's
+    3x shift slack plus the ``_chol_shifted`` retry walk absorb any
+    remaining underconvergence.
+    """
     npm = sym.shape[-1]
-    x0 = _seed_block(npm, 4, sym.dtype)
-    theta, _, _ = lobpcg_standard(-sym, x0, m=64)
-    return -theta[0]
+    m_steps = min(steps, npm)
+    # Gershgorin scale for safe division guards (axon f64 emulation has f32
+    # exponent range: never divide by a subnormal-tiny norm).
+    g = jnp.max(jnp.sum(jnp.abs(sym), axis=-1))
+    v0 = _seed_block(npm, 1, sym.dtype)[:, 0]
+    v0 = v0 / jnp.linalg.norm(v0)
+
+    def body(i, state):
+        v_prev, v_cur, alphas, betas = state
+        w = sym @ v_cur
+        alpha = v_cur @ w
+        w = w - alpha * v_cur - betas[i] * v_prev
+        beta = jnp.linalg.norm(w)
+        safe = jnp.maximum(beta, 1e-20 * g + 1e-30)
+        v_next = w / safe
+        alphas = alphas.at[i].set(alpha)
+        betas = betas.at[i + 1].set(beta)
+        return v_cur, v_next, alphas, betas
+
+    alphas0 = jnp.zeros((m_steps,), sym.dtype)
+    betas0 = jnp.zeros((m_steps + 1,), sym.dtype)
+    _, _, alphas, betas = jax.lax.fori_loop(
+        0, m_steps, body, (jnp.zeros_like(v0), v0, alphas0, betas0)
+    )
+    t = (
+        jnp.diag(alphas)
+        + jnp.diag(betas[1:m_steps], 1)
+        + jnp.diag(betas[1:m_steps], -1)
+    )
+    return jnp.linalg.eigvalsh(t)[0]
 
 
 def _seed_block(npm: int, k: int, dtype) -> jnp.ndarray:
