@@ -574,9 +574,10 @@ def _certify_core_iterative(
         # exactly the wrong side — it can report gap ~ 0 while the true gap
         # is large (a false certificate). Before accepting gap < threshold,
         # PROVE lambda_min >= -threshold * mu / (n+1): a successful Cholesky
-        # of sym_aff + thresh*I is such a proof. Disproven estimates are
-        # clamped just above the threshold so ``best`` can never certify
-        # from an unverified value; estimates above the threshold are left
+        # of sym_aff + thresh*I is such a proof. A disproven estimate
+        # carries no information beyond "gap > threshold", so it is recorded
+        # as +inf — never as a small number that could contaminate ``best``
+        # or fake a certificate; estimates above the threshold are left
         # as-is (they never certify, so they need no proof).
         candidate = gap < params.sub_optimality
         thresh = params.sub_optimality * mu / (n + 1.0)
@@ -590,7 +591,7 @@ def _certify_core_iterative(
         )
         gap = jnp.where(
             candidate & jnp.logical_not(proven),
-            jnp.asarray(params.sub_optimality * (1.0 + 1e-6), gap.dtype),
+            jnp.asarray(jnp.inf, gap.dtype),
             gap,
         )
         best = jnp.minimum(best, gap)
