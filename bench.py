@@ -43,7 +43,7 @@ def main():
     from teaserpp_tpu.parallel import solve_batch
     from teaserpp_tpu.utils.metrics import rotation_error_deg, translation_error
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     repeats = 5
 
     srcs, dsts = [], []

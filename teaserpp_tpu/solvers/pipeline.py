@@ -41,11 +41,7 @@ from teaserpp_tpu.solvers.rotation import (
 from teaserpp_tpu.solvers.translation import solve_translation_tls
 from teaserpp_tpu.clique.graph import adjacency_from_pair_mask
 from teaserpp_tpu.clique.heuristic import heuristic_max_clique
-from teaserpp_tpu.clique.kcore import (
-    core_numbers,
-    max_core_from_bits,
-    pack_bits_u32_rows,
-)
+from teaserpp_tpu.clique.kcore import core_numbers
 
 
 class ScaleStageResult(NamedTuple):
@@ -109,15 +105,20 @@ def device_clique_from_adjacency(
             # threshold 0 = "always take the top k-core" (reference
             # registration.h:480-482) — statically skip the greedy search,
             # which matters because under vmap both sides of a data-dependent
-            # select would otherwise execute. Only the TOP core is needed, so
-            # the level-by-level peel (one bitset pass per degeneracy level —
-            # hundreds for dense-clique graphs) is replaced by the
-            # binary-search max-core fixpoint (~log2(max_degree) probes,
-            # each converging in a few bulk-removal rounds over a
-            # monotonically shrinking active set). Identical mask: the max
-            # k-core IS the set of vertices with core number >= k_max.
-            adj_bits = pack_bits_u32_rows(adj)
-            mask, _ = max_core_from_bits(adj_bits, n, valid)
+            # select would otherwise execute.
+            #
+            # Measured A/B (r3, batched bunny 1889-corr on chip): the
+            # level-by-level batch peel beats the binary-search max-core
+            # fixpoint here — 8318 vs 8026 regs/s at batch 256, 9318 vs
+            # 8986 at batch 512. The batch peel's `k = max(k, min_active
+            # degree)` jumps whole degeneracy plateaus at once, so these
+            # dense-clique TRIM graphs peel in a handful of rounds, while
+            # binary search pays ~log2(max_degree) probes of several rounds
+            # each. The binary-search selector (`max_core_from_bits`) stays
+            # the huge-N single-problem path in parallel/sharded.py, where
+            # the wave count is in the hundreds and it wins 17x.
+            core = core_numbers(adj, valid)
+            mask = core >= jnp.max(core)
         else:
             core = core_numbers(adj, valid)
             max_core = jnp.max(core)

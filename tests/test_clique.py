@@ -315,21 +315,16 @@ def test_sparse_exact_clique_planted_20k(rng):
     assert dt < 60.0, f"sparse exact clique took {dt:.1f}s (expected seconds)"
 
 
-def test_kcore_threshold0_binary_search_parity(rng):
-    """The threshold-0 KCORE selector (binary-search max-core fixpoint,
-    pipeline.py::device_clique_from_adjacency) yields exactly the
-    ``core >= max_core`` mask of the level-by-level peel — single problem,
-    with a validity mask, and under vmap."""
+def test_kcore_binary_search_matches_level_peel(rng):
+    """The binary-search max-core fixpoint (the huge-N selector in
+    parallel/sharded.py) yields exactly the ``core >= max_core`` mask of
+    the level-by-level peel — single problem, with a validity mask, and
+    under vmap. (The batched pipeline keeps the level peel: measured
+    faster at bunny scale, see pipeline.py::device_clique_from_adjacency.)"""
     import jax
-    from teaserpp_tpu.solvers.pipeline import device_clique_from_adjacency
-    from teaserpp_tpu.params import (
-        InlierSelectionMode,
-        RobustRegistrationSolverParams,
-    )
-
-    params = RobustRegistrationSolverParams(
-        inlier_selection_mode=InlierSelectionMode.KCORE_HEU,
-        kcore_heuristic_threshold=0.0,
+    from teaserpp_tpu.clique.kcore import (
+        max_core_from_bits,
+        pack_bits_u32_rows,
     )
 
     def ref_mask(adj, valid=None):
@@ -339,31 +334,34 @@ def test_kcore_threshold0_binary_search_parity(rng):
             m = m & np.asarray(valid)
         return m
 
+    def bs_mask(adj, valid=None):
+        bits = pack_bits_u32_rows(jnp.asarray(adj))
+        mask, _ = max_core_from_bits(bits, adj.shape[-1], valid)
+        return np.asarray(mask)
+
     for n, k, p in [(40, 10, 0.05), (96, 24, 0.2), (64, 7, 0.4)]:
         adj = _planted_clique_graph(rng, n=n, k=k, p=p)
-        got = np.asarray(device_clique_from_adjacency(jnp.asarray(adj), params))
-        assert np.array_equal(got, ref_mask(adj))
+        assert np.array_equal(bs_mask(adj), ref_mask(adj))
 
     # padded/invalid vertices
     adj = _planted_clique_graph(rng, n=50, k=12, p=0.1)
-    valid = np.ones(50, bool)
-    valid[40:] = False
-    got = np.asarray(
-        device_clique_from_adjacency(
-            jnp.asarray(adj), params, valid=jnp.asarray(valid)
-        )
-    )
-    assert np.array_equal(got, ref_mask(adj, jnp.asarray(valid)))
+    valid = jnp.asarray(np.r_[np.ones(40, bool), np.zeros(10, bool)])
+    assert np.array_equal(bs_mask(adj, valid), ref_mask(adj, valid))
 
-    # vmapped batch (the headline-bench configuration)
+    # vmapped batch
     adjs = np.stack(
         [_planted_clique_graph(rng, n=48, k=9 + i, p=0.1) for i in range(4)]
     )
-    got_b = np.asarray(
-        jax.vmap(lambda a: device_clique_from_adjacency(a, params))(
-            jnp.asarray(adjs)
+
+    def one(a):
+        from teaserpp_tpu.clique.kcore import (
+            max_core_from_bits as mc,
+            pack_bits_u32_rows as pk,
         )
-    )
+        mask, _ = mc(pk(a), a.shape[-1])
+        return mask
+
+    got_b = np.asarray(jax.vmap(one)(jnp.asarray(adjs)))
     for i in range(4):
         assert np.array_equal(got_b[i], ref_mask(adjs[i]))
 
