@@ -27,6 +27,7 @@ intermediate at 1e-7 in f64.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional
 
 import numpy as np
@@ -499,27 +500,21 @@ def _seed_block(npm: int, k: int, dtype) -> jnp.ndarray:
     return jax.random.normal(key, (npm, k), dtype)
 
 
-def _certify_core_iterative(
+def _iterative_init(
     r: jnp.ndarray,
     src: jnp.ndarray,
     dst: jnp.ndarray,
     theta: jnp.ndarray,
     params: DRSCertifierParams,
 ):
-    """DRS loop with shift-invert PSD projection — the large-N / on-chip path.
+    """Setup for the shift-invert DRS loop: (state0, consts).
 
-    Same fixed-point iteration as :func:`_certify_core`
-    (certification.cc:126-182), but the per-iteration dense eigh of the PSD
-    projection and of the gap are replaced by warm-started shift-invert
-    subspace iterations whose basis blocks ride through the while_loop state.
-    Returns (best_suboptim, traj, iters, saturated).
+    ``consts`` = (m_init, mu, theta_prepended) are loop invariants the
+    segment runner needs alongside the evolving state.
     """
     dtype = src.dtype
     n = src.shape[-1]
     npm = 4 * n + 4
-    i_np, j_np = np.triu_indices(n + 1, k=1)
-    i_idx = jnp.asarray(i_np, jnp.int32)
-    j_idx = jnp.asarray(j_np, jnp.int32)
 
     theta_prepended = jnp.concatenate(
         [jnp.ones((1,), dtype), theta.astype(dtype)]
@@ -541,18 +536,52 @@ def _certify_core_iterative(
 
     k = _resolved_rank(params, npm)
     k_gap = min(8, npm)
-    n_solve = params.psd_projection_solves
 
     sym0 = (m_init + m_init.T) / 2
     lam0 = _lam_min_init(sym0)
     v_psd0 = _seed_block(npm, k, dtype)
     v_gap0 = _seed_block(npm, k_gap, dtype)
 
+    inf = jnp.asarray(jnp.inf, dtype)
+    traj0 = jnp.full((params.max_iterations,), jnp.nan, dtype)
+    state0 = (
+        jnp.asarray(0, jnp.int32),
+        m_init,
+        inf,
+        traj0,
+        jnp.asarray(False),
+        v_psd0,
+        lam0,
+        v_gap0,
+        lam0,
+        jnp.asarray(False),
+    )
+    return state0, (m_init, mu, theta_prepended)
+
+
+def _iterative_segment(state, consts, params: DRSCertifierParams, it_end):
+    """Run the shift-invert DRS while_loop from ``state`` until iteration
+    ``it_end`` (a traced scalar) or convergence — the chunked-dispatch unit.
+
+    One compiled graph serves every segment (it_end is data, not shape);
+    host drivers chain short segments so no single device program runs for
+    tens of minutes (the axon relay kills those — see PERFORMANCE.md
+    "axon worker crash, root-caused").
+    """
+    m_init, mu, theta_prepended = consts
+    dtype = m_init.dtype
+    npm = m_init.shape[-1]
+    n = npm // 4 - 1
+    i_np, j_np = np.triu_indices(n + 1, k=1)
+    i_idx = jnp.asarray(i_np, jnp.int32)
+    j_idx = jnp.asarray(j_np, jnp.int32)
+    n_solve = params.psd_projection_solves
     max_iters = params.max_iterations
+    it_end = jnp.minimum(jnp.asarray(it_end, jnp.int32), max_iters)
 
     def cond(state):
         it, m, best, traj, done, v_psd, lam_psd, v_gap, lam_gap, sat = state
-        return jnp.logical_and(it < max_iters, jnp.logical_not(done))
+        return jnp.logical_and(it < it_end, jnp.logical_not(done))
 
     def body(state):
         it, m, best, traj, done, v_psd, lam_psd, v_gap, lam_gap, sat = state
@@ -600,23 +629,31 @@ def _certify_core_iterative(
         m = jnp.where(done, m, m + params.gamma_tau * (m_affine - m_psd))
         return it + 1, m, best, traj, done, v_psd, lam_psd, v_gap, lam_gap, sat
 
-    inf = jnp.asarray(jnp.inf, dtype)
-    traj0 = jnp.full((max_iters,), jnp.nan, dtype)
-    state0 = (
-        jnp.asarray(0, jnp.int32),
-        m_init,
-        inf,
-        traj0,
-        jnp.asarray(False),
-        v_psd0,
-        lam0,
-        v_gap0,
-        lam0,
-        jnp.asarray(False),
+    return jax.lax.while_loop(cond, body, state)
+
+
+def _certify_core_iterative(
+    r: jnp.ndarray,
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    theta: jnp.ndarray,
+    params: DRSCertifierParams,
+):
+    """DRS loop with shift-invert PSD projection — the large-N / on-chip path.
+
+    Same fixed-point iteration as :func:`_certify_core`
+    (certification.cc:126-182), but the per-iteration dense eigh of the PSD
+    projection and of the gap are replaced by warm-started shift-invert
+    subspace iterations whose basis blocks ride through the while_loop state.
+    Returns (best_suboptim, traj, iters, saturated). Single device program;
+    the chunked-dispatch drivers compose :func:`_iterative_init` +
+    :func:`_iterative_segment` instead.
+    """
+    state0, consts = _iterative_init(r, src, dst, theta, params)
+    state = _iterative_segment(
+        state0, consts, params, jnp.asarray(params.max_iterations, jnp.int32)
     )
-    it, m, best, traj, done, _, _, _, _, sat = jax.lax.while_loop(
-        cond, body, state0
-    )
+    it, m, best, traj, done, _, _, _, _, sat = state
     del m, done
     return best, traj, it, sat
 
@@ -714,6 +751,68 @@ _certify_batch_jit = jax.jit(
     static_argnames=("params",),
 )
 
+_cert_init_jit = jax.jit(_iterative_init, static_argnames=("params",))
+_cert_segment_jit = jax.jit(_iterative_segment, static_argnames=("params",))
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _cert_init_batch_jit(r, src, dst, theta, params):
+    return jax.vmap(lambda a, b, c, d: _iterative_init(a, b, c, d, params))(
+        r, src, dst, theta
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _cert_segment_batch_jit(state, consts, params, it_end):
+    return jax.vmap(
+        lambda s, c: _iterative_segment(s, c, params, it_end)
+    )(state, consts)
+
+
+def _resolved_seg(params: DRSCertifierParams) -> int:
+    """Iterations per device dispatch: explicit, else auto by backend."""
+    if params.iterations_per_dispatch:
+        return params.iterations_per_dispatch
+    # the axon relay kills long-running device programs (measured: a
+    # 1000-iteration N=1000 DRS program dies mid-execution while the same
+    # graph runs fine in short segments) — keep dispatches well under its
+    # patience there; elsewhere a single dispatch is cheapest.
+    return 50 if jax.default_backend() == "axon" else params.max_iterations
+
+
+def _run_iterative_chunked(r, src, dst, theta, params: DRSCertifierParams):
+    """Host-driven segmented DRS: same numerics as one while_loop dispatch."""
+    seg = _resolved_seg(params)
+    state, consts = _cert_init_jit(r, src, dst, theta, params)
+    max_it = params.max_iterations
+    while True:
+        it = int(state[0])
+        done = bool(state[4])
+        if done or it >= max_it:
+            break
+        state = _cert_segment_jit(
+            state, consts, params, jnp.asarray(min(it + seg, max_it), jnp.int32)
+        )
+    return state[2], state[3], state[0], state[9]
+
+
+def _run_iterative_chunked_batch(r, src, dst, theta, params: DRSCertifierParams):
+    """Vmapped segmented DRS over a batch (shared it_end per dispatch)."""
+    seg = _resolved_seg(params)
+    state, consts = _cert_init_batch_jit(r, src, dst, theta, params)
+    max_it = params.max_iterations
+    while True:
+        its = np.asarray(state[0])
+        dones = np.asarray(state[4])
+        live = ~dones & (its < max_it)
+        if not live.any():
+            break
+        it_end = min(int(its[live].min()) + seg, max_it)
+        state = _cert_segment_batch_jit(
+            state, consts, params, jnp.asarray(it_end, jnp.int32)
+        )
+    return state[2], state[3], state[0], state[9]
+
 
 def certify_batch(
     rotations,
@@ -770,13 +869,19 @@ def certify_batch(
             )
         return out
 
-    best, traj, iters, sat = _certify_batch_jit(
+    args_d = (
         jnp.asarray(rotations, dtype),
         jnp.asarray(src_tims, dtype),
         jnp.asarray(dst_tims, dtype),
         jnp.asarray(thetas, dtype),
-        params,
     )
+    if (
+        params.eig_decomposition_solver == EigSolverType.ITERATIVE
+        and _resolved_seg(params) < params.max_iterations
+    ):
+        best, traj, iters, sat = _run_iterative_chunked_batch(*args_d, params)
+    else:
+        best, traj, iters, sat = _certify_batch_jit(*args_d, params)
     best = np.asarray(best)
     iters = np.asarray(iters)
     traj = np.asarray(traj)
@@ -849,9 +954,17 @@ class DRSCertifier:
         params = self.params
         npm = 4 * src_d.shape[-1] + 4
         while True:
-            best, traj, iters, sat = _certify_jit(
-                r, src_d, dst_d, theta_d, params
-            )
+            if (
+                params.eig_decomposition_solver == EigSolverType.ITERATIVE
+                and _resolved_seg(params) < params.max_iterations
+            ):
+                best, traj, iters, sat = _run_iterative_chunked(
+                    r, src_d, dst_d, theta_d, params
+                )
+            else:
+                best, traj, iters, sat = _certify_jit(
+                    r, src_d, dst_d, theta_d, params
+                )
             sat_b = bool(sat)
             # is_optimal certificates are Cholesky-PROVEN inside the loop, so
             # saturation (a possibly-partial projection at some iteration)

@@ -169,6 +169,12 @@ class DRSCertifierParams:
     # count observed at ~npm/8) and inner solve count per DRS iteration.
     psd_projection_rank: int = 0
     psd_projection_solves: int = 2
+    # ITERATIVE mode: max DRS iterations per device dispatch. 0 = auto
+    # (single dispatch off-TPU; short segments on the tunneled axon backend,
+    # whose relay kills device programs that run for tens of minutes — see
+    # PERFORMANCE.md). The chunking is bit-identical to a single dispatch:
+    # the while_loop state round-trips through host-invisible device memory.
+    iterations_per_dispatch: int = 0
 
     def replace(self, **kw) -> "DRSCertifierParams":
         return dataclasses.replace(self, **kw)

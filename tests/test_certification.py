@@ -411,6 +411,46 @@ def test_iterative_rank_saturation_recovers(rng):
     assert adaptive.is_optimal or not adaptive.rank_saturated
 
 
+def test_chunked_dispatch_matches_single(rng):
+    """iterations_per_dispatch segments the ITERATIVE DRS loop into short
+    device programs (the axon relay kills long-running ones); the chunked
+    run must be bit-identical to the single-dispatch run — same trajectory,
+    same stopping iteration, same certificate."""
+    from teaserpp_tpu.params import EigSolverType
+
+    nb = 0.03
+    r, v1, v2, theta = _make_gnc_problem(rng, 40, nb, n_out=10)
+    base = DRSCertifierParams(
+        noise_bound=nb, eig_decomposition_solver=EigSolverType.ITERATIVE
+    )
+    single = DRSCertifier(base).certify(r, v1, v2, theta)
+    chunked = DRSCertifier(base.replace(iterations_per_dispatch=7)).certify(
+        r, v1, v2, theta
+    )
+    assert chunked.is_optimal == single.is_optimal
+    assert chunked.best_suboptimality == single.best_suboptimality
+    assert len(chunked.suboptimality_traj) == len(single.suboptimality_traj)
+    assert np.array_equal(
+        np.asarray(chunked.suboptimality_traj),
+        np.asarray(single.suboptimality_traj),
+    )
+
+    # batched form too
+    from teaserpp_tpu.certification.drs import certify_batch
+
+    rots = np.stack([r, r])
+    v1s = np.stack([v1, v1])
+    v2s = np.stack([v2, v2])
+    thetas = np.stack([theta, theta])
+    b_single = certify_batch(rots, v1s, v2s, thetas, base)
+    b_chunked = certify_batch(
+        rots, v1s, v2s, thetas, base.replace(iterations_per_dispatch=7)
+    )
+    for a, b in zip(b_single, b_chunked):
+        assert a.is_optimal == b.is_optimal
+        assert a.best_suboptimality == b.best_suboptimality
+
+
 def test_iterative_gap_gate_blocks_false_certificate(rng):
     """Regression for the unsound gap estimate: Rayleigh-Ritz OVER-estimates
     lambda_min, so before the Cholesky proof gate a full-rank ITERATIVE run
