@@ -89,8 +89,8 @@ def run_one(tag, r, v1, v2, theta, nb, rank, max_iters):
 
 rng = np.random.default_rng(7)
 
-if MODE == "scale":
-    for n in (500, 1000):
+if MODE in ("scale", "scale-gnc"):
+    for n in () if MODE == "scale-gnc" else (500, 1000):
         rank = RANK or (96 if n == 500 else 128)
         r, v1, v2, theta = ref_style(rng, n)
         run_one(f"ref-style N={n} rank={rank}", r, v1, v2, theta,

@@ -565,8 +565,10 @@ def _iterative_segment(state, consts, params: DRSCertifierParams, it_end):
 
     One compiled graph serves every segment (it_end is data, not shape);
     host drivers chain short segments so no single device program runs for
-    tens of minutes (the axon relay kills those — see PERFORMANCE.md
-    "axon worker crash, root-caused").
+    tens of minutes — a ~48-minute N=1000 DRS execution crashed the axon
+    worker mid-run and left it degraded (PERFORMANCE.md "axon worker crash,
+    root-caused"); short dispatches bound the blast radius and give the
+    host recovery points.
     """
     m_init, mu, theta_prepended = consts
     dtype = m_init.dtype
@@ -773,10 +775,10 @@ def _resolved_seg(params: DRSCertifierParams) -> int:
     """Iterations per device dispatch: explicit, else auto by backend."""
     if params.iterations_per_dispatch:
         return params.iterations_per_dispatch
-    # the axon relay kills long-running device programs (measured: a
-    # 1000-iteration N=1000 DRS program dies mid-execution while the same
-    # graph runs fine in short segments) — keep dispatches well under its
-    # patience there; elsewhere a single dispatch is cheapest.
+    # a ~48-minute N=1000 DRS execution crashed the axon worker mid-run
+    # (and left it degraded for minutes afterwards); short dispatches bound
+    # the blast radius and give host-side recovery points. Elsewhere a
+    # single dispatch is cheapest.
     return 50 if jax.default_backend() == "axon" else params.max_iterations
 
 

@@ -171,9 +171,11 @@ class DRSCertifierParams:
     psd_projection_solves: int = 2
     # ITERATIVE mode: max DRS iterations per device dispatch. 0 = auto
     # (single dispatch off-TPU; short segments on the tunneled axon backend,
-    # whose relay kills device programs that run for tens of minutes — see
-    # PERFORMANCE.md). The chunking is bit-identical to a single dispatch:
-    # the while_loop state round-trips through host-invisible device memory.
+    # where a ~48-minute N=1000 DRS execution crashed the worker and left it
+    # degraded — see PERFORMANCE.md. Short dispatches bound the blast radius
+    # and give host-side recovery points). Chunking is bit-identical to a
+    # single dispatch: the while_loop state stays in device memory between
+    # dispatches.
     iterations_per_dispatch: int = 0
 
     def replace(self, **kw) -> "DRSCertifierParams":
