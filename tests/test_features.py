@@ -28,6 +28,22 @@ requires_ref = pytest.mark.skipif(
 )
 
 
+def test_nn_hierarchical_matches_bruteforce(rng):
+    """The hierarchical candidate search (block-argmin -> top-k blocks ->
+    exact rescore, the large-DB path in _nn_block) returns the true nearest
+    neighbor — checked against f64 brute force on FPFH-scale descriptors."""
+    from teaserpp_tpu.features.matcher import _nn_indices
+
+    q = rng.random((400, 33)).astype(np.float32) * 100
+    db = rng.random((7000, 33)).astype(np.float32) * 100  # > 4096: hierarchical
+    got = np.asarray(_nn_indices(jnp.asarray(q), jnp.asarray(db)))
+    d = (
+        (q[:, None, :].astype(np.float64) - db[None].astype(np.float64)) ** 2
+    ).sum(-1)
+    ref = d.argmin(1)
+    assert (got == ref).all()
+
+
 def test_normals_on_plane(rng):
     """Points on a plane must get the plane normal, oriented to the viewpoint."""
     n = 200
