@@ -323,9 +323,17 @@ def suboptimality_gap(
     """(-lambda_min(M) * (N+1)) / mu, clamped at 0 (certification.cc:192-231).
 
     ``solver`` mirrors the reference's Eigen/Spectra switch
-    (certification.cc:198-218): DENSE is a full ``eigvalsh``; ITERATIVE finds
-    only the minimum eigenvalue by LOBPCG on the shifted negated matrix —
-    the analog of the reference's Spectra path for large instances.
+    (certification.cc:198-218): DENSE is a full ``eigvalsh``; ITERATIVE is
+    the analog of the reference's Spectra path for large instances — a
+    96-step Lanczos estimate of lambda_min whose result is then replaced by
+    a **Cholesky-proven lower bound** (:func:`_proven_lam_min_lb`). The
+    proof step matters for soundness: a Ritz value approaches lambda_min
+    from ABOVE, so the raw estimate under-states the gap and an unconverged
+    run could report "optimal" where the true gap is large — the same
+    failure mode the internal DRS loop's certificate gate closes. With the
+    proof, the returned ITERATIVE gap is always an upper bound on the true
+    suboptimality (conservative: it can only over-report, never fake a
+    certificate).
     """
     sym = (m + m.T) / 2
     if solver == EigSolverType.ITERATIVE:
@@ -334,7 +342,8 @@ def suboptimality_gap(
         # axon remote-compile worker at npm >= 2004 (PERFORMANCE.md "axon
         # worker crash, root-caused"); Lanczos compiles tiny and its
         # extremal convergence handles even continuum-edge spectra.
-        min_eig = _lam_min_init(sym, steps=96)
+        est = _lam_min_init(sym, steps=96)
+        min_eig = _proven_lam_min_lb(sym, est)
     else:
         eigvals = jnp.linalg.eigvalsh(sym)
         min_eig = eigvals[..., 0]
@@ -342,12 +351,66 @@ def suboptimality_gap(
     return jnp.where(min_eig > 0, jnp.zeros_like(gap), gap)
 
 
+def _proven_lam_min_lb(sym: jnp.ndarray, est: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky-PROVEN lower bound on lambda_min, tightened near ``est``.
+
+    A successful Cholesky of ``sym + c*I`` proves ``lambda_min >= -c``.
+    ``est`` is an (above-biased) Ritz estimate: when the single proof
+    attempt at ``c ~= -est`` succeeds, the estimate is thereby certified
+    accurate (one factorization, the common case). When it fails — the
+    estimate was unconverged — the bound is bracketed by doubling ``c``
+    until the factorization succeeds and then tightened by bisection, so
+    the returned value is a sound lower bound regardless of Lanczos
+    convergence.
+    """
+    npm = sym.shape[-1]
+    eye = jnp.eye(npm, dtype=sym.dtype)
+    # Gershgorin scale; c = g always succeeds, bounding the doubling walk.
+    g = jnp.max(jnp.sum(jnp.abs(sym), axis=-1))
+    floor = 1e-10 * g + 1e-30
+
+    def ok(c):
+        chol = jnp.linalg.cholesky(sym + c * eye)
+        return jnp.logical_not(jnp.any(jnp.isnan(chol)))
+
+    c0 = jnp.maximum(-est, 0.0) * (1.0 + 1e-8) + floor
+    ok0 = ok(c0)
+
+    def bracket_then_bisect(c_start):
+        def bcond(s):
+            c, okc, i = s
+            return jnp.logical_and(jnp.logical_not(okc), i < 64)
+
+        def bbody(s):
+            c, okc, i = s
+            c2 = c * 2.0
+            return c2, ok(c2), i + 1
+
+        c_hi, _, _ = jax.lax.while_loop(
+            bcond, bbody, (c_start, jnp.asarray(False), jnp.asarray(0, jnp.int32))
+        )
+
+        def bis(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            okm = ok(mid)
+            return jnp.where(okm, lo, mid), jnp.where(okm, mid, hi)
+
+        _, c_hi = jax.lax.fori_loop(0, 32, bis, (c_hi * 0.5, c_hi))
+        return c_hi
+
+    c = jax.lax.cond(ok0, lambda s: s, bracket_then_bisect, c0)
+    return -c
+
+
 def _chol_shifted(sym: jnp.ndarray, sigma0: jnp.ndarray):
     """Cholesky of ``sym - sigma I``, growing the shift until it succeeds.
 
     ``sigma0`` should already be below lambda_min; when the estimate is stale
     (lambda_min drifted between DRS iterations) the factorization produces
-    NaNs and the shift is pushed down geometrically — at most 4 retries.
+    NaNs and the shift is pushed down geometrically — at most 12 retries
+    (enough to reach below the spectrum from any starting shift, see the
+    loop condition).
     """
     npm = sym.shape[-1]
     eye = jnp.eye(npm, dtype=sym.dtype)
@@ -426,7 +489,11 @@ def _si_psd_step(
     # said nothing about completeness.)
     g = jnp.max(jnp.sum(jnp.abs(sym), axis=-1))
     npm = sym.shape[-1]
-    eps = 1e-8 * g
+    # dtype-scaled slack: 1e-8*g is far above f64 projection rounding but
+    # BELOW f32 machine epsilon — a (hypothetical) non-x64 ITERATIVE run
+    # would flag saturation from f32 rounding alone and drive the adaptive
+    # rank doubling to full rank. Keep 1e-8 for f64, widen for f32.
+    eps = max(1e-8, 100.0 * float(jnp.finfo(sym.dtype).eps)) * g
     chol = jnp.linalg.cholesky(m_psd + eps * jnp.eye(npm, dtype=sym.dtype))
     saturated = jnp.any(jnp.isnan(chol))
     return m_psd, v, lam_t[0], saturated
@@ -937,8 +1004,12 @@ class DRSCertifier:
         """Certify optimality of ``rotation`` on TIMs (src, dst) with inlier
         vector ``theta`` (+-1 floats or booleans).
 
-        Note: the ``eig_decomposition_solver`` param selects between the
-        reference's Eigen/Spectra backends; both map to XLA ``eigh`` here.
+        Note: the ``eig_decomposition_solver`` param mirrors the reference's
+        Eigen/Spectra switch (certification.h:61-64). DENSE runs full XLA
+        ``eigh``/``eigvalsh`` per DRS iteration; ITERATIVE replaces both
+        per-iteration eigensolves with warm-started shift-invert subspace
+        iterations (Lanczos-seeded) and Cholesky-PROVEN certificates — the
+        large-N / on-chip path (see :func:`_certify_core_iterative`).
         """
         theta = np.asarray(theta)
         if theta.dtype == bool:

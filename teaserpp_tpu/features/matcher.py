@@ -50,10 +50,15 @@ def _nn_block(queries: jnp.ndarray, database: jnp.ndarray) -> jnp.ndarray:
     ``lax.top_k`` over a 100K-wide row lowers to a full sort on TPU and
     dominated the whole matcher (the 100K x 100K pass spent ~9 s here for
     ~1.3e12 FLOP of actual matmul work). Instead the approx-distance row is
-    reduced to per-128-lane-block minima (one cheap fused reduce), the best
-    32 BLOCKS are top-k'ed over that ~DB/128-wide row, and their 32 block
-    winners are re-scored — a strictly wider exact-rescore net than the old
-    global top-32 (candidates spread across 32 distinct blocks).
+    reduced to per-128-lane-block minima, the best 32 BLOCKS are top-k'ed
+    over that ~DB/128-wide row, and the top-2 approx candidates of each
+    winning block (winner + runner-up, two cheap fused reduces) are
+    re-scored exactly — 64 candidates. The runner-up matters: f32 Gram
+    error (~||f||^2*eps) can mis-rank a true NN behind a same-block
+    near-tie, and a winner-only net would then never exact-rescore the true
+    NN (this is NOT a superset of a global top-32 candidate set; it covers
+    one approx mis-ranking per block, which the near-tie regression test
+    pins).
     """
     db = database.shape[0]
     q2 = jnp.sum(queries * queries, axis=-1)
@@ -74,9 +79,17 @@ def _nn_block(queries: jnp.ndarray, database: jnp.ndarray) -> jnp.ndarray:
     a3 = approx.reshape(approx.shape[0], nb, lane)
     bmin = jnp.min(a3, axis=-1)  # (Q, nb)
     barg = jnp.argmin(a3, axis=-1)  # (Q, nb) index within block
+    # runner-up per block: mask the winner lane, min again
+    lane_ids = jnp.arange(lane)
+    masked = jnp.where(
+        lane_ids[None, None, :] == barg[..., None], jnp.inf, a3
+    )
+    barg2 = jnp.argmin(masked, axis=-1)  # (Q, nb) runner-up within block
     k = min(32, nb)
     _, bidx = jax.lax.top_k(-bmin, k)  # (Q, k) best blocks
-    cand = bidx * lane + jnp.take_along_axis(barg, bidx, axis=-1)
+    c1 = bidx * lane + jnp.take_along_axis(barg, bidx, axis=-1)
+    c2 = bidx * lane + jnp.take_along_axis(barg2, bidx, axis=-1)
+    cand = jnp.concatenate([c1, c2], axis=-1)  # (Q, 2k)
     cand = jnp.minimum(cand, db - 1)  # padded lanes are +inf, never chosen
     return _rescore_pick(queries, database, cand)
 

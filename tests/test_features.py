@@ -44,6 +44,37 @@ def test_nn_hierarchical_matches_bruteforce(rng):
     assert (got == ref).all()
 
 
+def test_nn_hierarchical_same_block_near_tie(rng):
+    """Regression: true NN and a near-tie decoy in the SAME 128-lane block.
+
+    The f32 Gram approximation carries ~||f||^2*eps absolute error, far above
+    an engineered 1e-3 exact-distance gap, so the within-block approx argmin
+    picks the decoy about half the time. A winner-only candidate net then
+    never exact-rescores the true NN (the round-3 hierarchical matcher missed
+    30/200 such ties); the top-2-per-block net must recover every one.
+    """
+    from teaserpp_tpu.features.matcher import _nn_indices
+
+    n_q, n_db, lane = 200, 32768, 128
+    q = (rng.random((n_q, 33)) * 100).astype(np.float32)
+    db = (rng.random((n_db, 33)) * 100).astype(np.float32)
+    true_idx = np.empty(n_q, np.int64)
+    for i in range(n_q):
+        blk = i  # distinct block per query (n_db/lane = 256 blocks)
+        p_true, p_decoy = blk * lane + 7, blk * lane + 91
+        e = rng.normal(size=33)
+        e = e / np.linalg.norm(e) * 5.0  # |e|^2 = 25, way below random ~5.5e4
+        db[p_true] = q[i] + (e * np.sqrt(1.0 - 4e-5)).astype(np.float32)
+        db[p_decoy] = q[i] + e.astype(np.float32)  # exact-d2 gap ~1e-3
+        true_idx[i] = p_true
+    d = (
+        (q[:, None, :].astype(np.float64) - db[None].astype(np.float64)) ** 2
+    ).sum(-1)
+    assert (d.argmin(1) == true_idx).all()  # the construction holds in f64
+    got = np.asarray(_nn_indices(jnp.asarray(q), jnp.asarray(db)))
+    assert (got == true_idx).all()
+
+
 def test_normals_on_plane(rng):
     """Points on a plane must get the plane normal, oriented to the viewpoint."""
     n = 200
