@@ -95,12 +95,45 @@ if MODE in ("scale", "scale-gnc"):
         r, v1, v2, theta = ref_style(rng, n)
         run_one(f"ref-style N={n} rank={rank}", r, v1, v2, theta,
                 nb=0.01, rank=rank, max_iters=ITERS)
-    # the hard (production) regime: noisy + GNC estimate
-    n = 1000
-    rank = RANK or 128
-    r, v1, v2, theta = gnc_style(rng, n)
-    run_one(f"gnc N={n} rank={rank}", r, v1, v2, theta,
-            nb=0.03, rank=rank, max_iters=ITERS)
+    # the hard (production) regime: noisy + GNC estimate, driven through the
+    # disk-checkpointed resumable dispatcher — the tunneled-TPU worker has
+    # crashed under sustained multi-ten-minute f64 load, and with resume a
+    # re-run of this script continues from the last checkpoint instead of
+    # iteration 0.  n=N on the command line selects the size (default 1000).
+    from teaserpp_tpu.certification.drs import certify_checkpointed
+
+    ns = [int(a.split("=")[1]) for a in sys.argv if a.startswith("n=")] or [1000]
+    rounds = next(
+        (int(a.split("=")[1]) for a in sys.argv if a.startswith("rounds=")), 4
+    )
+    for n in ns:
+        # ranks/budget match the r3 ref-style runs so every device program
+        # is already in the persistent compile cache (fresh big f64 compiles
+        # are the most crash-prone event on this backend); the iteration
+        # budget is extended by ROUNDS of the cached 200-iter graph, which
+        # is bit-identical to one long run (test_round_extension_*).
+        rank = RANK or (96 if n <= 500 else 128)
+        prng = np.random.default_rng(7 + n)  # deterministic per size: the
+        # resumed process must regenerate the identical problem+GNC estimate
+        r, v1, v2, theta = gnc_style(prng, n)
+        params = DRSCertifierParams(
+            noise_bound=0.03, max_iterations=ITERS,
+            eig_decomposition_solver=EigSolverType.ITERATIVE,
+            psd_projection_rank=rank,
+        )
+        ck = f"/root/repo/.drs_ckpt_gnc_n{n}_r{rank}_i{ITERS}.npz"
+        t0 = time.time()
+        res = certify_checkpointed(
+            r, v1, v2, theta, params, checkpoint_path=ck, checkpoint_every=2,
+            rounds=rounds,
+        )
+        t1 = time.time()
+        iters = len(res.suboptimality_traj)
+        print(f"gnc N={n} rank={rank}: optimal={res.is_optimal} "
+              f"best={res.best_suboptimality:.3e} iters={iters} "
+              f"sat={res.rank_saturated} attempt_wall={t1 - t0:.1f}s "
+              f"(resume-capable; per-iter only meaningful on an "
+              f"uninterrupted warm attempt)", flush=True)
     sys.exit(0)
 
 # batched N=100 throughput. certify_batch auto-chunks to vmap width 4 on

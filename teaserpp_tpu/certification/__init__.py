@@ -6,6 +6,7 @@ TPU-native replacement for reference certification.{h,cc}.
 from teaserpp_tpu.certification.drs import (
     DRSCertifier,
     CertificationResult,
+    certify_checkpointed,
     quat_from_rotation,
     get_q_cost,
     get_omega_1,
@@ -20,6 +21,7 @@ from teaserpp_tpu.params import DRSCertifierParams, EigSolverType
 __all__ = [
     "DRSCertifier",
     "CertificationResult",
+    "certify_checkpointed",
     "DRSCertifierParams",
     "EigSolverType",
     "quat_from_rotation",

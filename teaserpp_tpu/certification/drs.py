@@ -883,6 +883,185 @@ def _run_iterative_chunked_batch(r, src, dst, theta, params: DRSCertifierParams)
     return state[2], state[3], state[0], state[9]
 
 
+def _ckpt_fingerprint(r, src, dst, theta, params: DRSCertifierParams) -> str:
+    """Problem+config fingerprint guarding checkpoint/resume mismatches."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for a in (r, src, dst, theta):
+        h.update(np.ascontiguousarray(np.asarray(a, np.float64)).tobytes())
+    h.update(
+        repr((
+            params.max_iterations,
+            params.psd_projection_rank,
+            params.psd_projection_solves,
+            params.sub_optimality,
+            params.gamma_tau,
+            params.noise_bound,
+            params.cbar2,
+        )).encode()
+    )
+    return h.hexdigest()
+
+
+def certify_checkpointed(
+    rotation,
+    src,
+    dst,
+    theta,
+    params: Optional[DRSCertifierParams] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 2,
+    rounds: int = 1,
+    _stop_after_segments: Optional[int] = None,
+) -> CertificationResult:
+    """Chunked ITERATIVE certification with disk checkpoint / resume.
+
+    The chunked dispatcher already bounds each device program to
+    ``iterations_per_dispatch`` DRS iterations, but the evolving dual state
+    lives only on the device: a worker crash mid-run (the tunneled-TPU
+    worker has died under sustained multi-ten-minute f64 load, see
+    PERFORMANCE.md "axon worker crash, root-caused") loses the entire run.
+    This driver checkpoints the full loop state to ``checkpoint_path``
+    (atomic npz, every ``checkpoint_every`` segments) so a re-run of the
+    same call resumes from the last checkpoint instead of iteration 0 —
+    restart-based elastic recovery; chunking is bit-identical to a single
+    dispatch and f64 npz round-trips exactly, so the resumed trajectory is
+    the uninterrupted one. A fingerprint of (inputs, solver params) guards
+    against resuming a different problem; a stale/mismatched file is
+    ignored and overwritten. No reference analog (solves there are
+    sub-second and stateless, SURVEY §5 "Checkpoint / resume: none").
+
+    ``rounds`` extends the iteration budget to ``rounds * max_iterations``
+    WITHOUT recompiling: the DRS body's dynamics do not depend on the
+    iteration counter (it only indexes the trajectory buffer), so after an
+    uncertified round the counter and trajectory buffer are reset while the
+    dual state — M, best-gap, warm-started subspace bases — carries over.
+    The concatenated trajectory is bit-identical to a single run with
+    ``rounds * max_iterations`` as the budget, but every device program is
+    the (possibly already-cached) ``max_iterations``-budget graph — on
+    remote-compile backends a fresh multi-thousand-dimension f64 compile
+    is the single most crash-prone event, so reusing cached graphs is a
+    reliability feature, not just a convenience.
+
+    ``_stop_after_segments`` is test instrumentation: abandon the run after
+    that many segment dispatches (simulating a crash) and return None.
+    """
+    import os
+    import tempfile
+
+    params = params or DRSCertifierParams(
+        eig_decomposition_solver=EigSolverType.ITERATIVE
+    )
+    if params.eig_decomposition_solver != EigSolverType.ITERATIVE:
+        raise ValueError("certify_checkpointed requires the ITERATIVE solver")
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    theta = np.asarray(theta)
+    if theta.dtype == bool:
+        theta = np.where(theta, 1.0, -1.0)
+    r = jnp.asarray(rotation, dtype)
+    src_d = jnp.asarray(src, dtype)
+    dst_d = jnp.asarray(dst, dtype)
+    theta_d = jnp.asarray(theta.reshape(-1), dtype)
+
+    seg = _resolved_seg(params)
+    max_it = params.max_iterations
+    fp = _ckpt_fingerprint(rotation, src, dst, theta, params)
+
+    state = consts = None
+    round_idx = 0
+    prev_traj: List[float] = []
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        try:
+            with np.load(checkpoint_path, allow_pickle=False) as z:
+                if str(z["fingerprint"]) == fp:
+                    state = tuple(
+                        jnp.asarray(z[f"s{i}"]) for i in range(10)
+                    )
+                    consts = tuple(
+                        jnp.asarray(z[f"c{i}"]) for i in range(3)
+                    )
+                    round_idx = int(z["round"]) if "round" in z else 0
+                    if "prev_traj" in z:
+                        prev_traj = [float(v) for v in z["prev_traj"]]
+        except Exception:
+            state = consts = None  # unreadable/partial file: start over
+            round_idx, prev_traj = 0, []
+    if state is None:
+        state, consts = _cert_init_jit(r, src_d, dst_d, theta_d, params)
+
+    host_consts_cache = []  # loop-invariant: fetched from device only once
+
+    def save():
+        if not checkpoint_path:
+            return
+        payload = {
+            "fingerprint": np.asarray(fp),
+            "round": np.asarray(round_idx),
+            "prev_traj": np.asarray(prev_traj, np.float64),
+        }
+        host_state = jax.device_get(state)
+        if not host_consts_cache:
+            host_consts_cache.append(jax.device_get(consts))
+        payload.update({f"s{i}": v for i, v in enumerate(host_state)})
+        payload.update({f"c{i}": v for i, v in enumerate(host_consts_cache[0])})
+        d = os.path.dirname(os.path.abspath(checkpoint_path)) or "."
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                np.savez(f, **payload)
+            os.replace(tmp, checkpoint_path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+
+    n_segs = 0
+    while True:
+        it = int(state[0])
+        done = bool(state[4])
+        if (it >= max_it) and not done and round_idx + 1 < rounds:
+            # round rollover: reset counter + trajectory, keep dual state
+            prev_traj.extend(float(v) for v in np.asarray(state[3])[:it])
+            round_idx += 1
+            state = (
+                jnp.asarray(0, jnp.int32),
+                state[1],
+                state[2],
+                jnp.full_like(state[3], jnp.nan),
+                state[4],
+                state[5],
+                state[6],
+                state[7],
+                state[8],
+                state[9],
+            )
+            it = 0
+        if done or it >= max_it:
+            break
+        if _stop_after_segments is not None and n_segs >= _stop_after_segments:
+            return None  # simulated crash (test instrumentation)
+        state = _cert_segment_jit(
+            state, consts, params, jnp.asarray(min(it + seg, max_it), jnp.int32)
+        )
+        n_segs += 1
+        if n_segs % checkpoint_every == 0:
+            save()
+    save()  # terminal state (resuming a finished run is then a no-op)
+
+    best = float(state[2])
+    iters = int(state[0])
+    sat_b = bool(state[9])
+    traj = prev_traj + [float(v) for v in np.asarray(state[3])[:iters]]
+    is_optimal = best < params.sub_optimality
+    return CertificationResult(
+        is_optimal=is_optimal,
+        best_suboptimality=best,
+        suboptimality_traj=traj,
+        rank_saturated=sat_b and not is_optimal,
+    )
+
+
 def certify_batch(
     rotations,
     src_tims,

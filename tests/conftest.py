@@ -21,8 +21,29 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+import gc  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compile_state():
+    """Clear JAX's compiled-executable caches after every test module.
+
+    The full suite performs ~200 fresh XLA:CPU compiles in one process; with
+    every compiled executable kept alive by the jit caches, late-suite
+    compiles of the heaviest graph (the GNC while_loop) die inside
+    ``backend_compile_and_load`` with SIGSEGV/SIGABRT at ~85-93% of the run
+    (three reproductions r3-r4; same site each time, different tests).
+    System memory is NOT the cause (RSS ~5 GB of 128 GB, Committed_AS 15/66
+    GB at crash) — the state that kills the compiler is in-process
+    (LLVM/ORC-JIT executable state). Dropping executables between modules
+    bounds that state; see known-issues.md for the full investigation.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()
 
 REFERENCE_DATA = "/root/reference/test/teaser/data"
 REFERENCE_EXAMPLE_DATA = "/root/reference/examples/example_data"

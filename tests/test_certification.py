@@ -451,6 +451,97 @@ def test_chunked_dispatch_matches_single(rng):
         assert a.best_suboptimality == b.best_suboptimality
 
 
+def test_checkpointed_certification_resumes_bit_identical(rng, tmp_path):
+    """Disk checkpoint/resume (restart-based elastic recovery): a run killed
+    mid-way and re-invoked from its checkpoint must reproduce the
+    uninterrupted run exactly — same trajectory, stopping iteration, and
+    certificate (chunking is bit-identical and f64 npz round-trips exactly).
+    """
+    from teaserpp_tpu.params import EigSolverType
+    from teaserpp_tpu.certification.drs import certify_checkpointed
+
+    nb = 0.03
+    r, v1, v2, theta = _make_gnc_problem(rng, 40, nb, n_out=10)
+    params = DRSCertifierParams(
+        noise_bound=nb,
+        eig_decomposition_solver=EigSolverType.ITERATIVE,
+        iterations_per_dispatch=7,
+    )
+    baseline = DRSCertifier(params).certify(r, v1, v2, theta)
+    assert len(baseline.suboptimality_traj) > 14  # multiple segments needed
+
+    ck = str(tmp_path / "drs_ckpt.npz")
+    # simulated crash after 1 segment (checkpoint_every=1 -> state saved)
+    interrupted = certify_checkpointed(
+        r, v1, v2, theta, params, checkpoint_path=ck,
+        checkpoint_every=1, _stop_after_segments=1,
+    )
+    assert interrupted is None and os.path.exists(ck)
+    resumed = certify_checkpointed(
+        r, v1, v2, theta, params, checkpoint_path=ck, checkpoint_every=1
+    )
+    assert resumed.is_optimal == baseline.is_optimal
+    assert resumed.best_suboptimality == baseline.best_suboptimality
+    assert np.array_equal(
+        np.asarray(resumed.suboptimality_traj),
+        np.asarray(baseline.suboptimality_traj),
+    )
+
+    # a mismatched problem must NOT resume from the stale file: running it
+    # against the stale checkpoint must equal a from-scratch checkpointed
+    # run bit-exactly (DRSCertifier.certify is not the comparator here — on
+    # an uncertified saturated run it re-enters with a doubled subspace
+    # rank, a deliberately different semantic than one fixed-rank pass)
+    r2_, v1_2, v2_2, theta_2 = _make_gnc_problem(rng, 40, nb, n_out=10)
+    other = certify_checkpointed(
+        r2_, v1_2, v2_2, theta_2, params, checkpoint_path=ck, checkpoint_every=1
+    )
+    fresh = certify_checkpointed(
+        r2_, v1_2, v2_2, theta_2, params,
+        checkpoint_path=str(tmp_path / "fresh.npz"), checkpoint_every=1,
+    )
+    assert other.best_suboptimality == fresh.best_suboptimality
+    assert np.array_equal(
+        np.asarray(other.suboptimality_traj),
+        np.asarray(fresh.suboptimality_traj),
+    )
+
+
+def test_round_extension_matches_single_long_run(rng):
+    """rounds=k at budget m must equal one run at budget k*m bit-exactly.
+
+    The DRS body never reads the iteration counter except to index the
+    trajectory buffer, so the round rollover (reset counter+buffer, carry
+    the dual state and warm bases) continues the identical fixed-point
+    sequence — this is what lets remote backends extend iteration budgets
+    using only already-compiled ``max_iterations``-budget graphs.
+    """
+    from teaserpp_tpu.params import EigSolverType
+    from teaserpp_tpu.certification.drs import certify_checkpointed
+
+    nb = 0.03
+    r, v1, v2, theta = _make_gnc_problem(rng, 40, nb, n_out=10)
+    base = dict(
+        noise_bound=nb,
+        eig_decomposition_solver=EigSolverType.ITERATIVE,
+        iterations_per_dispatch=25,
+    )
+    long_run = certify_checkpointed(
+        r, v1, v2, theta, DRSCertifierParams(max_iterations=75, **base)
+    )
+    multi = certify_checkpointed(
+        r, v1, v2, theta, DRSCertifierParams(max_iterations=25, **base),
+        rounds=3,
+    )
+    assert len(long_run.suboptimality_traj) > 25  # crosses a round boundary
+    assert multi.is_optimal == long_run.is_optimal
+    assert multi.best_suboptimality == long_run.best_suboptimality
+    assert np.array_equal(
+        np.asarray(multi.suboptimality_traj),
+        np.asarray(long_run.suboptimality_traj),
+    )
+
+
 def test_iterative_gap_gate_blocks_false_certificate(rng):
     """Regression for the unsound gap estimate: Rayleigh-Ritz OVER-estimates
     lambda_min, so before the Cholesky proof gate a full-rank ITERATIVE run
