@@ -23,6 +23,10 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 jax.config.update("jax_enable_x64", True)
+# keep the host CPU backend available alongside the TPU: problem-prep solves
+# (the GNC estimate the certifier certifies) run on CPU so the fragile
+# worker only ever sees the certification programs themselves
+jax.config.update("jax_platforms", "axon,cpu")
 
 import jax.numpy as jnp
 from teaserpp_tpu.certification.drs import DRSCertifier, certify_batch
@@ -51,7 +55,13 @@ def ref_style(rng, n, outlier_ratio=0.1):
 
 
 def gnc_style(rng, n, nb=0.03, outlier_frac=0.25):
-    """Noisy data + GNC-TLS rotation/theta (the production pipeline case)."""
+    """Noisy data + GNC-TLS rotation/theta (the production pipeline case).
+
+    The GNC estimate runs on the HOST CPU backend: it is problem prep, not
+    the thing being benchmarked, it is deterministic across process
+    restarts (required for checkpoint-resume fingerprints), and it keeps a
+    multi-thousand-point f64 solve off the crash-prone tunneled worker.
+    """
     v1 = rng.standard_normal((3, n))
     q, _ = np.linalg.qr(rng.standard_normal((3, 3)))
     if np.linalg.det(q) < 0:
@@ -60,9 +70,11 @@ def gnc_style(rng, n, nb=0.03, outlier_frac=0.25):
     n_out = int(n * outlier_frac)
     out_idx = rng.choice(n, n_out, replace=False)
     v2[:, out_idx] = rng.standard_normal((3, n_out)) * 2
-    rot = solve_rotation_gnc_tls(jnp.asarray(v1), jnp.asarray(v2), nb)
-    theta = np.where(np.asarray(rot.inliers), 1.0, -1.0)
-    return np.asarray(rot.rotation), v1, v2, theta
+    with jax.default_device(jax.devices("cpu")[0]):
+        rot = solve_rotation_gnc_tls(jnp.asarray(v1), jnp.asarray(v2), nb)
+        theta = np.where(np.asarray(rot.inliers), 1.0, -1.0)
+        rot_np = np.asarray(rot.rotation)
+    return rot_np, v1, v2, theta
 
 
 def run_one(tag, r, v1, v2, theta, nb, rank, max_iters):
@@ -116,16 +128,21 @@ if MODE in ("scale", "scale-gnc"):
         prng = np.random.default_rng(7 + n)  # deterministic per size: the
         # resumed process must regenerate the identical problem+GNC estimate
         r, v1, v2, theta = gnc_style(prng, n)
+        print(f"gnc N={n}: problem prepared (GNC on CPU), "
+              f"{int((theta > 0).sum())} inliers; starting certification",
+              flush=True)
         params = DRSCertifierParams(
             noise_bound=0.03, max_iterations=ITERS,
             eig_decomposition_solver=EigSolverType.ITERATIVE,
             psd_projection_rank=rank,
+            iterations_per_dispatch=25,  # short device programs: the worker
+            # has died under sustained long f64 dispatch sequences
         )
         ck = f"/root/repo/.drs_ckpt_gnc_n{n}_r{rank}_i{ITERS}.npz"
         t0 = time.time()
         res = certify_checkpointed(
             r, v1, v2, theta, params, checkpoint_path=ck, checkpoint_every=2,
-            rounds=rounds,
+            rounds=rounds, verbose=True,
         )
         t1 = time.time()
         iters = len(res.suboptimality_traj)

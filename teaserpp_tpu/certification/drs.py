@@ -913,6 +913,7 @@ def certify_checkpointed(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 2,
     rounds: int = 1,
+    verbose: bool = False,
     _stop_after_segments: Optional[int] = None,
 ) -> CertificationResult:
     """Chunked ITERATIVE certification with disk checkpoint / resume.
@@ -1045,6 +1046,12 @@ def certify_checkpointed(
             state, consts, params, jnp.asarray(min(it + seg, max_it), jnp.int32)
         )
         n_segs += 1
+        if verbose:
+            print(
+                f"[certify_checkpointed] round {round_idx} it "
+                f"{int(state[0])}/{max_it} best {float(state[2]):.3e}",
+                flush=True,
+            )
         if n_segs % checkpoint_every == 0:
             save()
     save()  # terminal state (resuming a finished run is then a no-op)
