@@ -153,9 +153,13 @@ if MODE in ("scale", "scale-gnc"):
               f"uninterrupted warm attempt)", flush=True)
     sys.exit(0)
 
-# batched N=100 throughput. certify_batch auto-chunks to vmap width 4 on
-# the axon backend (width-8 f64-emulated programs crash the TPU worker —
-# see certify_batch docstring), so batch 8 = 2 executions of one program.
+# batched N=100 throughput. width=W on the command line forces
+# max_device_batch=W (the r3 post-mortem says the old width-8 crash was the
+# LOBPCG compile, not the batched math — this mode is how that claim gets
+# proven or retracted end-to-end); default: the backend's auto cap.
+WIDTH = next(
+    (int(a.split("=")[1]) for a in sys.argv if a.startswith("width=")), None
+)
 batch = 8
 n = 100
 probs = [gnc_style(rng, n, nb=0.03) for _ in range(batch)]
@@ -168,14 +172,15 @@ params = DRSCertifierParams(
     eig_decomposition_solver=EigSolverType.ITERATIVE,
 )
 t0 = time.time()
-results = certify_batch(rots, v1s, v2s, thetas, params)
+results = certify_batch(rots, v1s, v2s, thetas, params, max_device_batch=WIDTH)
 t1 = time.time()
-print(f"certify_batch[{batch}] first (incl compile): {t1 - t0:.1f}s", flush=True)
+print(f"certify_batch[{batch}] width={WIDTH or 'auto'} first (incl compile): "
+      f"{t1 - t0:.1f}s", flush=True)
 t0 = time.time()
-results = certify_batch(rots, v1s, v2s, thetas, params)
+results = certify_batch(rots, v1s, v2s, thetas, params, max_device_batch=WIDTH)
 t1 = time.time()
 n_opt = sum(r.is_optimal for r in results)
 worst = max(r.best_suboptimality for r in results)
-print(f"certify_batch[{batch}] warm: {t1 - t0:.1f}s "
+print(f"certify_batch[{batch}] width={WIDTH or 'auto'} warm: {t1 - t0:.1f}s "
       f"({batch / (t1 - t0):.2f} certs/s/chip), optimal {n_opt}/{batch}, "
       f"worst best_suboptimality {worst:.3e}", flush=True)

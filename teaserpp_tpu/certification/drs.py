@@ -1049,7 +1049,8 @@ def certify_checkpointed(
         if verbose:
             print(
                 f"[certify_checkpointed] round {round_idx} it "
-                f"{int(state[0])}/{max_it} best {float(state[2]):.3e}",
+                f"{int(state[0])}/{max_it} best {float(state[2]):.3e}"
+                f"{' SAT' if bool(state[9]) else ''}",
                 flush=True,
             )
         if n_segs % checkpoint_every == 0:
