@@ -1085,9 +1085,15 @@ def certify_batch(
         +-1 (or bool).
       max_device_batch: cap on the vmap width per device program; larger
         batches run as equal-size chunks (last chunk padded). Default: 4 on
-        the tunneled-TPU ``axon`` backend — its double-word-f32 emulation of
-        the batched f64 eigh/cholesky programs has crashed the TPU worker at
-        vmap width 8 (verified stable at <= 4); unlimited elsewhere.
+        the tunneled-TPU ``axon`` backend; unlimited elsewhere. History of
+        the cap: r2 observed worker crashes at width 8; the r3 crash
+        post-mortem attributed those to the (since-removed) LOBPCG compile,
+        but the r4 width-reconciliation run crashed the worker at width 4
+        TOO during a fragile-worker day — so "width 8 is safe post-LOBPCG"
+        remains UNVERIFIED end-to-end and the conservative cap stays. For
+        long batched runs on fragile remote backends prefer sequential
+        :func:`certify_checkpointed` calls (resumable) over wide vmaps
+        (one crash loses every lane's progress).
     Returns:
       list of :class:`CertificationResult` (host-materialized).
 
