@@ -11,7 +11,7 @@ VERDICT r2 #1/#2 done-gates:
               harder certificate, honest iteration count.
   batch : certify_batch throughput at the axon-safe width (N=100).
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_certification_tpu.py [scale|batch] [rank=N] [iters=N]
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_certification_tpu.py [scale|batch|batch-seq] [rank=N] [iters=N] [width=W]
 """
 import sys
 import time
@@ -119,12 +119,18 @@ if MODE in ("scale", "scale-gnc"):
         (int(a.split("=")[1]) for a in sys.argv if a.startswith("rounds=")), 4
     )
     for n in ns:
-        # ranks/budget match the r3 ref-style runs so every device program
-        # is already in the persistent compile cache (fresh big f64 compiles
-        # are the most crash-prone event on this backend); the iteration
-        # budget is extended by ROUNDS of the cached 200-iter graph, which
-        # is bit-identical to one long run (test_round_extension_*).
-        rank = RANK or (96 if n <= 500 else 128)
+        # ranks/budget reuse persistently-cached device programs where
+        # possible (fresh big f64 compiles are the most crash-prone event on
+        # this backend); the iteration budget is extended by ROUNDS of the
+        # cached 200-iter graph, which is bit-identical to one long run
+        # (test_round_extension_*). Default rank for n > 500 is 256: the r4
+        # campaign measured rank 128 SATURATING at npm=4004 (120 negative
+        # eigenvalues, gap stalled at ~0.5 contracting ~0.1%/iter) and the
+        # written guidance is >= 2x the expected negative count
+        # (PERFORMANCE.md "Certification at scale"); certify_checkpointed
+        # now self-escalates on saturation, but starting at a known-stalling
+        # rank burns hours of fragile-TPU time before the escalation fires.
+        rank = RANK or (96 if n <= 500 else 256)
         prng = np.random.default_rng(7 + n)  # deterministic per size: the
         # resumed process must regenerate the identical problem+GNC estimate
         r, v1, v2, theta = gnc_style(prng, n)
@@ -151,6 +157,34 @@ if MODE in ("scale", "scale-gnc"):
               f"sat={res.rank_saturated} attempt_wall={t1 - t0:.1f}s "
               f"(resume-capable; per-iter only meaningful on an "
               f"uninterrupted warm attempt)", flush=True)
+    sys.exit(0)
+
+if MODE == "batch-seq":
+    # Sequential fallback (VERDICT r4 #2): on a fragile remote worker,
+    # certs/s measured via sequential resumable runs is the OFFICIAL
+    # number — a crash costs one segment, not every vmap lane. Same
+    # problem set as the batched mode for comparability.
+    from teaserpp_tpu.certification.drs import certify_checkpointed
+
+    batch, n = 8, 100
+    probs = [gnc_style(rng, n, nb=0.03) for _ in range(batch)]
+    params = DRSCertifierParams(
+        noise_bound=0.03, max_iterations=200,
+        eig_decomposition_solver=EigSolverType.ITERATIVE,
+        iterations_per_dispatch=50,
+    )
+    # warm: first problem compiles the segment graph
+    r0 = certify_checkpointed(*probs[0][:4], params)
+    print(f"warm problem: optimal={r0.is_optimal} "
+          f"iters={len(r0.suboptimality_traj)}", flush=True)
+    t0 = time.time()
+    results = [certify_checkpointed(*p[:4], params) for p in probs]
+    t1 = time.time()
+    n_opt = sum(r.is_optimal for r in results)
+    iters = [len(r.suboptimality_traj) for r in results]
+    print(f"sequential certify_checkpointed[{batch}] N={n}: {t1 - t0:.1f}s "
+          f"({batch / (t1 - t0):.3f} certs/s/chip), optimal {n_opt}/{batch}, "
+          f"iters {iters}", flush=True)
     sys.exit(0)
 
 # batched N=100 throughput. width=W on the command line forces

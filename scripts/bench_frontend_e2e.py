@@ -1,4 +1,4 @@
-"""Full front-end end-to-end benchmark (VERDICT r2 #9).
+"""Full front-end end-to-end benchmark (VERDICT r2 #9, r4 #1).
 
 Two workloads, per-stage wall time each (the BASELINE.md "3DMatch /
 3DSmoothNet scenes" analog within single-chip limits):
@@ -12,7 +12,22 @@ Two workloads, per-stage wall time each (the BASELINE.md "3DMatch /
 Timing protocol: everything jitted warms once (compile), then the timed
 pass fetches a scalar to host per stage (honest through the relay).
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_frontend_e2e.py [certify]
+Certification is TWO-PHASE because its dtype regime differs from the
+pipeline's: DRS needs f64 (f32 stalls at suboptimality ~1e2 — the r4 run
+made exactly that mistake, VERDICT r4 Weak #1) while the solve/descriptor
+stages are f32, and jax_enable_x64 is a process-global flag. Phase 1
+(``certify`` argv) runs the f32 pipeline and SAVES the rotation-stage
+problem — the chain TIMs over the max-clique, outliers included (the
+regime where the QUASAR relative gap is meaningful; a post-hoc clean
+subsample collapses mu and needs thousands of iterations, see
+PERFORMANCE.md "Front-end e2e") — to an npz. Phase 2 (``certify-saved``
+argv) is a separate x64 process: GNC re-solve of the certified subset in
+f64 on CPU (stationarity of (R, theta) on exactly the certified TIMs),
+then resumable chunked DRS certification on the chip.
+
+Run:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_frontend_e2e.py certify
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_frontend_e2e.py certify-saved
 """
 import os
 import sys
@@ -27,6 +42,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 # CPU backend available alongside the TPU: the certify stage's subproblem
 # GNC re-solve is host-side problem prep
 jax.config.update("jax_platforms", "axon,cpu")
+if "certify-saved" in sys.argv:
+    # phase 2 is the f64 certification process (see module docstring)
+    jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
 
@@ -104,62 +122,95 @@ def run_pipeline(name, src_pts, dst_pts, r_true, t_true, nb, fpfh_radii):
             f"| solve {t_solve:.3f}s | rot {rot_err:.4f} deg trans {trn_err:.5f} m "
             f"| clique {int(res.clique_size)}")
 
-    # --- stage 4 (optional): certify the rotation on the clique TIMs
+    # --- stage 4 (optional): save the ROTATION-STAGE problem for phase 2.
+    # The certified object is the problem the rotation solver actually
+    # faced: chain TIMs over the max-clique, rotation-stage noise bound
+    # (2*nb/s, registration.cc:697-704), TLS outliers INCLUDED. The f64
+    # certification itself runs in a separate x64 process (phase 2).
     if DO_CERTIFY:
-        from teaserpp_tpu.certification.drs import DRSCertifier
-        from teaserpp_tpu.params import DRSCertifierParams, EigSolverType
-
         mask = np.asarray(sol.clique_mask)
         idx = np.nonzero(mask)[0]
-        if len(idx) > 300:  # certification cost is O(N^2)-O(N^3) in TIMs
-            idx = idx[np.linspace(0, len(idx) - 1, 300).astype(int)]
-        sel_s = src_c[:, idx]
-        sel_d = dst_c[:, idx]
-        # chain TIMs over the selected clique members
+        sel_s = src_c[:, idx].astype(np.float64)
+        sel_d = dst_c[:, idx].astype(np.float64)
+        # chain TIMs over ALL clique members (ring, registration.cc:657-680)
         v1 = np.diff(np.concatenate([sel_s, sel_s[:, :1]], axis=1), axis=1)
         v2 = np.diff(np.concatenate([sel_d, sel_d[:, :1]], axis=1), axis=1)
-        # Certification of a derived subproblem must be self-consistent:
-        # (R, theta) must be the TLS stationary pair OF THE CERTIFIED TIM
-        # SET, so the rotation is re-solved by GNC on exactly these chain
-        # TIMs with the certification bound (the pipeline rotation was
-        # estimated on the FULL clique chain; its optimum differs on a
-        # 300-TIM subsample and an inconsistent pair is rightly refused).
-        # The bound sits at ~2.5x the median residual — the balanced
-        # regime of the at-scale gnc rows. NOTE an honest structural
-        # finding (reproduced on CPU, PERFORMANCE.md "Front-end e2e"):
-        # when the subproblem has NO TLS outliers, the primal cost mu =
-        # sum(residual^2) lacks the nb^2-per-outlier terms that dominate
-        # it in the gnc-row regime, the RELATIVE gap threshold tightens by
-        # orders of magnitude, and DRS needs thousands of iterations on an
-        # essentially-clean instance — a property of the QUASAR gap
-        # definition (reference certification.cc:192-231 divides by mu),
-        # not of this implementation. The stage reports whatever the
-        # budget achieves.
-        resid = np.linalg.norm(
-            v2 - np.asarray(sol.rotation, np.float64) @ v1, axis=0
-        )
-        cert_nb = float(2.5 * np.median(resid))
-        from teaserpp_tpu.certification.drs import certify_checkpointed
-        from teaserpp_tpu.solvers.rotation import solve_rotation_gnc_tls
-
-        with jax.default_device(jax.devices("cpu")[0]):
-            rot_sub = solve_rotation_gnc_tls(
-                jnp.asarray(v1), jnp.asarray(v2), cert_nb
-            )
-            theta = np.where(np.asarray(rot_sub.inliers), 1.0, -1.0)
-            r_sub = np.asarray(rot_sub.rotation)
-
-        params_cert = DRSCertifierParams(
-            noise_bound=cert_nb,
-            eig_decomposition_solver=EigSolverType.ITERATIVE,
-            iterations_per_dispatch=25,
-        )
-        t0 = time.time()
-        cres = certify_checkpointed(r_sub, v1, v2, theta, params_cert, rounds=4)
-        t_cert = time.time() - t0
-        line += (f" | certify {t_cert:.1f}s optimal={cres.is_optimal} "
-                 f"gap={cres.best_suboptimality:.2e}")
+        path = f"/root/repo/.e2e_cert_{name}.npz"
+        np.savez(path, v1=v1, v2=v2, nb_rot=2.0 * nb,
+                 r_pipeline=np.asarray(sol.rotation, np.float64))
+        line += f" | rotation-stage problem saved ({v1.shape[1]} TIMs) -> {path}"
     print(line, flush=True)
+
+
+# --- phase 2: f64 certification of the saved rotation-stage problems ----
+NCERT = 300  # certified TIM count (npm = 1204): O(npm^2) mem / O(npm^3) chol
+
+
+def certify_saved(name):
+    path = f"/root/repo/.e2e_cert_{name}.npz"
+    if not os.path.exists(path):
+        print(f"{name}: no saved problem at {path} (run phase 1 first)",
+              flush=True)
+        return
+    from teaserpp_tpu.certification.drs import certify_checkpointed
+    from teaserpp_tpu.params import DRSCertifierParams, EigSolverType
+    from teaserpp_tpu.solvers.rotation import solve_rotation_gnc_tls
+
+    with np.load(path) as z:
+        v1f, v2f, nb_rot = z["v1"], z["v2"], float(z["nb_rot"])
+    cpu = jax.devices("cpu")[0]
+    # theta over the FULL chain: which TIMs are TLS outliers at the
+    # rotation-stage bound
+    with jax.default_device(cpu):
+        rot_full = solve_rotation_gnc_tls(
+            jnp.asarray(v1f), jnp.asarray(v2f), nb_rot
+        )
+        th_full = np.asarray(rot_full.inliers)
+    out_idx = np.nonzero(~th_full)[0]
+    in_idx = np.nonzero(th_full)[0]
+    # certified subset: ALL outlier TIMs (they keep mu in the balanced
+    # regime — the whole point of certifying the rotation-stage problem,
+    # VERDICT r4 #1) + evenly-spaced inliers up to NCERT
+    keep_out = out_idx[: NCERT // 2]
+    n_in = min(NCERT - len(keep_out), len(in_idx))
+    keep_in = in_idx[np.linspace(0, len(in_idx) - 1, n_in).astype(int)]
+    sel = np.sort(np.concatenate([keep_in, keep_out]))
+    v1, v2 = v1f[:, sel], v2f[:, sel]
+    # stationarity: (R, theta) must be the GNC-TLS pair OF THE CERTIFIED
+    # TIM SET (the full-chain optimum differs on a subsample)
+    with jax.default_device(cpu):
+        rot_sub = solve_rotation_gnc_tls(jnp.asarray(v1), jnp.asarray(v2), nb_rot)
+        theta = np.where(np.asarray(rot_sub.inliers), 1.0, -1.0)
+        r_sub = np.asarray(rot_sub.rotation)
+    n_out = int((theta < 0).sum())
+    print(f"{name}: chain {v1f.shape[1]} TIMs ({len(out_idx)} TLS outliers) "
+          f"-> certify {len(sel)} TIMs ({n_out} outliers), nb_rot={nb_rot}",
+          flush=True)
+    params_cert = DRSCertifierParams(
+        noise_bound=nb_rot,
+        eig_decomposition_solver=EigSolverType.ITERATIVE,
+        iterations_per_dispatch=25,
+        psd_projection_rank=128,
+        max_iterations=200,
+    )
+    ck = f"/root/repo/.e2e_cert_{name}_ck.npz"
+    t0 = time.time()
+    cres = certify_checkpointed(
+        r_sub, v1, v2, theta, params_cert, checkpoint_path=ck,
+        checkpoint_every=2, rounds=10, verbose=True,
+    )
+    t_cert = time.time() - t0
+    print(f"{name}: certify {t_cert:.1f}s optimal={cres.is_optimal} "
+          f"(Cholesky-proven) gap={cres.best_suboptimality:.2e} "
+          f"iters={len(cres.suboptimality_traj)} sat={cres.rank_saturated}",
+          flush=True)
+
+
+if "certify-saved" in sys.argv:
+    assert jax.config.jax_enable_x64, "phase 2 must run in x64"
+    certify_saved("scene60k")
+    certify_saved("synth100k")
+    sys.exit(0)
 
 
 rng = np.random.default_rng(11)

@@ -355,13 +355,20 @@ def _proven_lam_min_lb(sym: jnp.ndarray, est: jnp.ndarray) -> jnp.ndarray:
     """Cholesky-PROVEN lower bound on lambda_min, tightened near ``est``.
 
     A successful Cholesky of ``sym + c*I`` proves ``lambda_min >= -c``.
-    ``est`` is an (above-biased) Ritz estimate: when the single proof
-    attempt at ``c ~= -est`` succeeds, the estimate is thereby certified
-    accurate (one factorization, the common case). When it fails — the
-    estimate was unconverged — the bound is bracketed by doubling ``c``
-    until the factorization succeeds and then tightened by bisection, so
-    the returned value is a sound lower bound regardless of Lanczos
-    convergence.
+    A PSD input is handled first: Cholesky of ``sym`` itself succeeding
+    proves ``lambda_min >= 0`` and the bound returned is exactly 0 — the
+    analog of the reference's ``min_eig > 0 -> gap 0`` branch
+    (certification.cc:221-225) and of the DENSE path here, so an
+    already-optimal instance reports gap 0 rather than a floor-sized
+    residual (which in the small-mu near-clean regime could exceed the
+    certificate threshold and flip a genuinely optimal verdict).
+    Otherwise ``est`` is an (above-biased) Ritz estimate: when the single
+    proof attempt at ``c ~= -est`` succeeds, the estimate is thereby
+    certified accurate (one factorization, the common case). When it
+    fails — the estimate was unconverged — the bound is bracketed by
+    doubling ``c`` until the factorization succeeds and then tightened by
+    bisection, so the returned value is a sound lower bound regardless of
+    Lanczos convergence.
     """
     npm = sym.shape[-1]
     eye = jnp.eye(npm, dtype=sym.dtype)
@@ -373,6 +380,7 @@ def _proven_lam_min_lb(sym: jnp.ndarray, est: jnp.ndarray) -> jnp.ndarray:
         chol = jnp.linalg.cholesky(sym + c * eye)
         return jnp.logical_not(jnp.any(jnp.isnan(chol)))
 
+    ok_psd = ok(jnp.zeros((), sym.dtype))
     c0 = jnp.maximum(-est, 0.0) * (1.0 + 1e-8) + floor
     ok0 = ok(c0)
 
@@ -400,7 +408,7 @@ def _proven_lam_min_lb(sym: jnp.ndarray, est: jnp.ndarray) -> jnp.ndarray:
         return c_hi
 
     c = jax.lax.cond(ok0, lambda s: s, bracket_then_bisect, c0)
-    return -c
+    return jnp.where(ok_psd, jnp.zeros((), sym.dtype), -c)
 
 
 def _chol_shifted(sym: jnp.ndarray, sigma0: jnp.ndarray):
@@ -561,9 +569,13 @@ def _lam_min_init(sym: jnp.ndarray, steps: int = 48) -> jnp.ndarray:
     return jnp.linalg.eigvalsh(t)[0]
 
 
-def _seed_block(npm: int, k: int, dtype) -> jnp.ndarray:
-    """Deterministic well-spread starting block for subspace iterations."""
-    key = jax.random.PRNGKey(0)
+def _seed_block(npm: int, k: int, dtype, seed: int = 0) -> jnp.ndarray:
+    """Deterministic well-spread starting block for subspace iterations.
+
+    ``seed`` distinguishes escalation-time extension columns from the
+    initial block so the padded basis never duplicates directions.
+    """
+    key = jax.random.PRNGKey(seed)
     return jax.random.normal(key, (npm, k), dtype)
 
 
@@ -884,14 +896,23 @@ def _run_iterative_chunked_batch(r, src, dst, theta, params: DRSCertifierParams)
 
 
 def _ckpt_fingerprint(r, src, dst, theta, params: DRSCertifierParams) -> str:
-    """Problem+config fingerprint guarding checkpoint/resume mismatches."""
+    """Problem+config fingerprint guarding checkpoint/resume mismatches.
+
+    Includes the resolved working dtype: resuming an x64-written checkpoint
+    in a non-x64 process would otherwise pass the check and silently
+    downcast the f64 loop state to f32 — a diverged (and, for
+    certification, stalling) trajectory instead of the bit-identical
+    resume this machinery promises.
+    """
     import hashlib
 
+    working_dtype = "float64" if jax.config.jax_enable_x64 else "float32"
     h = hashlib.sha256()
     for a in (r, src, dst, theta):
         h.update(np.ascontiguousarray(np.asarray(a, np.float64)).tobytes())
     h.update(
         repr((
+            working_dtype,
             params.max_iterations,
             params.psd_projection_rank,
             params.psd_projection_solves,
@@ -914,6 +935,7 @@ def certify_checkpointed(
     checkpoint_every: int = 2,
     rounds: int = 1,
     verbose: bool = False,
+    adaptive_rank: bool = True,
     _stop_after_segments: Optional[int] = None,
 ) -> CertificationResult:
     """Chunked ITERATIVE certification with disk checkpoint / resume.
@@ -944,6 +966,20 @@ def certify_checkpointed(
     remote-compile backends a fresh multi-thousand-dimension f64 compile
     is the single most crash-prone event, so reusing cached graphs is a
     reliability feature, not just a convenience.
+
+    ``adaptive_rank`` codifies the N=1000 campaign's by-hand recovery
+    (PERFORMANCE.md "Certification at scale"): when the FULL ``rounds``
+    budget ends uncertified with the subspace rank saturated (negative
+    eigenvalue mass exceeded the shift-invert basis — the regime where the
+    gap stalls contracting ~0.1%/iter), the run re-enters with a DOUBLED
+    ``psd_projection_rank`` instead of returning the stall to the caller:
+    the dual iterate M and the converged basis columns carry over (the
+    basis is padded with fresh seed columns and re-orthonormalized by the
+    next solve/QR pass), the iteration counter and round budget reset, and
+    escalation repeats (rank 2x each time) until the certificate lands or
+    the basis is the full space. The checkpoint stores the escalated state
+    (current rank is implicit in the basis shape), so a crash mid-escalated
+    run resumes at the escalated rank.
 
     ``_stop_after_segments`` is test instrumentation: abandon the run after
     that many segment dispatches (simulating a crash) and return None.
@@ -1039,6 +1075,47 @@ def certify_checkpointed(
             )
             it = 0
         if done or it >= max_it:
+            npm_ = int(state[1].shape[-1])
+            k_cur = int(state[5].shape[-1])
+            if (
+                adaptive_rank
+                and not done
+                and bool(state[9])
+                and k_cur < npm_
+            ):
+                # Adaptive rank escalation: budget exhausted, uncertified,
+                # and the PSD projection was provably partial at some
+                # iteration. Double the subspace, keep the dual state M and
+                # the converged basis columns (padded with fresh seed
+                # directions; the next solve/QR pass re-orthonormalizes),
+                # reset the iteration/round budget, go again.
+                k_new = min(2 * k_cur, npm_)
+                extra = _seed_block(
+                    npm_, k_new - k_cur, state[5].dtype, seed=k_new
+                )
+                prev_traj.extend(float(v) for v in np.asarray(state[3])[:it])
+                round_idx = 0
+                state = (
+                    jnp.asarray(0, jnp.int32),
+                    state[1],
+                    state[2],
+                    jnp.full_like(state[3], jnp.nan),
+                    state[4],
+                    jnp.concatenate([state[5], extra], axis=-1),
+                    state[6],
+                    state[7],
+                    state[8],
+                    jnp.asarray(False),
+                )
+                params = params.replace(psd_projection_rank=k_new)
+                if verbose:
+                    print(
+                        f"[certify_checkpointed] rank saturated at {k_cur} "
+                        f"uncertified -> escalating to {k_new}",
+                        flush=True,
+                    )
+                save()
+                continue
             break
         if _stop_after_segments is not None and n_segs >= _stop_after_segments:
             return None  # simulated crash (test instrumentation)

@@ -89,9 +89,10 @@ def _pair_features_block(
     return ok, dist2, b1, b2, b3
 
 
-@partial(jax.jit, static_argnames=("radius",))
-def _spfh_chunk(chunk_pts, chunk_normals, chunk_valid, pts, normals, radius):
-    """(B, 33) SPFH histograms for a block of query points."""
+def _spfh_core(chunk_pts, chunk_normals, chunk_valid, pts, normals, radius):
+    """(B, 33) SPFH histograms for a query block against an (M, 3)
+    neighbor-candidate set (full cloud on the dense path; a gathered
+    grid-hash subset on the pruned path — identical semantics)."""
     dtype = pts.dtype
     diff2 = jnp.sum((pts[None, :, :] - chunk_pts[:, None, :]) ** 2, axis=-1)
     mask = diff2 <= radius * radius  # includes self (dist 0)
@@ -109,9 +110,15 @@ def _spfh_chunk(chunk_pts, chunk_normals, chunk_valid, pts, normals, radius):
     return jnp.concatenate([hist(b1), hist(b2), hist(b3)], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("radius",))
-def _fpfh_chunk(chunk_pts, pts, spfh, radius):
-    """(B, 33) FPFH from all-point SPFHs for a block of query points."""
+_spfh_chunk = partial(jax.jit, static_argnames=("radius",))(
+    lambda chunk_pts, chunk_normals, chunk_valid, pts, normals, radius: (
+        _spfh_core(chunk_pts, chunk_normals, chunk_valid, pts, normals, radius)
+    )
+)
+
+
+def _fpfh_core(chunk_pts, pts, spfh, radius):
+    """(B, 33) FPFH from candidate-set SPFHs for a block of query points."""
     dtype = pts.dtype
     diff2 = jnp.sum((pts[None, :, :] - chunk_pts[:, None, :]) ** 2, axis=-1)
     mask = (diff2 <= radius * radius) & (diff2 > 0)
@@ -123,6 +130,66 @@ def _fpfh_chunk(chunk_pts, pts, spfh, radius):
         s = jnp.sum(seg, axis=-1, keepdims=True)
         out.append(jnp.where(s > 0, seg * (100.0 / jnp.where(s > 0, s, 1.0)), seg))
     return jnp.concatenate(out, axis=-1)
+
+
+_fpfh_chunk = partial(jax.jit, static_argnames=("radius",))(
+    lambda chunk_pts, pts, spfh, radius: _fpfh_core(chunk_pts, pts, spfh, radius)
+)
+
+
+@jax.jit
+def _spfh_pruned(q_pts, q_normals, sorted_pts, sorted_normals, cand_idx, radius):
+    """All SPFH query blocks in one device program (lax.map over blocks)."""
+
+    def one(args):
+        qp, qn, ci = args
+        ones = jnp.ones((qp.shape[0],), sorted_pts.dtype)
+        return _spfh_core(
+            qp, qn, ones, sorted_pts[ci], sorted_normals[ci], radius
+        )
+
+    return jax.lax.map(one, (q_pts, q_normals, cand_idx))
+
+
+@jax.jit
+def _fpfh_pruned(q_pts, sorted_pts, sorted_spfh, cand_idx, radius):
+    """All FPFH query blocks in one device program (lax.map over blocks)."""
+
+    def one(args):
+        qp, ci = args
+        return _fpfh_core(qp, sorted_pts[ci], sorted_spfh[ci], radius)
+
+    return jax.lax.map(one, (q_pts, cand_idx))
+
+
+def compute_fpfh_pruned(
+    pts: jnp.ndarray, normals: jnp.ndarray, radius: float, plan
+) -> jnp.ndarray:
+    """(N, 33) FPFH via a grid-hash :class:`~teaserpp_tpu.features.spatial.
+    NeighborPlan` — identical neighbor semantics to :func:`compute_fpfh`
+    (the candidate set provably contains every radius neighbor; the exact
+    predicate is re-tested on device) at ~3-10% of the pair work."""
+    from teaserpp_tpu.features.spatial import SENTINEL, query_blocks, sorted_padded
+
+    dtype = jnp.asarray(pts).dtype
+    sp = sorted_padded(np.asarray(pts), plan, SENTINEL)
+    sn = sorted_padded(np.asarray(normals), plan, 0.0)
+    qb_p = jnp.asarray(query_blocks(sp, plan), dtype)
+    qb_n = jnp.asarray(query_blocks(sn, plan), dtype)
+    sp_d = jnp.asarray(sp, dtype)
+    sn_d = jnp.asarray(sn, dtype)
+    ci = jnp.asarray(plan.cand_idx)
+    r_d = jnp.asarray(radius, dtype)
+
+    spfh = _spfh_pruned(qb_p, qb_n, sp_d, sn_d, ci, r_d)
+    spfh_flat = spfh.reshape(plan.nblocks * plan.block, 3 * _NR_BINS)[: plan.n]
+    # re-pad the sorted SPFH table with a zero row for candidate gathers
+    spfh_sorted = jnp.concatenate(
+        [spfh_flat, jnp.zeros((1, 3 * _NR_BINS), dtype)], axis=0
+    )
+    fpfh = _fpfh_pruned(qb_p, sp_d, spfh_sorted, ci, r_d)
+    flat = fpfh.reshape(plan.nblocks * plan.block, 3 * _NR_BINS)[: plan.n]
+    return flat[jnp.asarray(plan.inv)]
 
 
 def _chunks(n: int, size: int):
@@ -165,11 +232,25 @@ def compute_fpfh(
 
 
 class FPFHEstimation:
-    """Reference-style facade (fpfh.h:23-92): computeFPFHFeatures + getNormals."""
+    """Reference-style facade (fpfh.h:23-92): computeFPFHFeatures + getNormals.
 
-    def __init__(self, chunk_size: int = 1024):
+    ``neighbor_mode`` selects the neighborhood machinery:
+      * ``"dense"``  — every pass tests all N candidates per query (the
+        original chunked (B, N) row blocks);
+      * ``"grid"``   — grid-hash candidate pruning (features/spatial.py),
+        the analog of the reference's PCL kd-tree radius searches
+        (fpfh.cc:28-40) with identical neighbor semantics;
+      * ``"auto"``   — grid when the cloud is large enough for pruning to
+        win (N >= 8192) AND the plan actually prunes (candidate work
+        < 70% of dense); dense otherwise.
+    """
+
+    def __init__(self, chunk_size: int = 1024, neighbor_mode: str = "auto"):
+        if neighbor_mode not in ("auto", "dense", "grid"):
+            raise ValueError(f"unknown neighbor_mode: {neighbor_mode!r}")
         self._normals = np.zeros((0, 3))
         self._chunk_size = chunk_size
+        self._neighbor_mode = neighbor_mode
 
     def computeFPFHFeatures(
         self,
@@ -178,9 +259,36 @@ class FPFHEstimation:
         fpfh_search_radius: float = 0.05,
     ) -> np.ndarray:
         """(N, 33) float descriptors of ``input_cloud`` (PointCloud or (N,3))."""
+        from teaserpp_tpu.features.normals import estimate_normals_pruned
+        from teaserpp_tpu.features.spatial import build_neighbor_plans
+
         pts = np.asarray(getattr(input_cloud, "points", input_cloud), dtype=np.float64)
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         pts_d = jnp.asarray(pts, dtype)
+        n = len(pts)
+
+        plans = None
+        if self._neighbor_mode == "grid" or (
+            self._neighbor_mode == "auto" and n >= 8192
+        ):
+            plans = build_neighbor_plans(
+                pts, (normal_search_radius, fpfh_search_radius)
+            )
+            if self._neighbor_mode == "auto" and not all(
+                p.pair_fraction < 0.7 for p in plans
+            ):
+                plans = None  # pruning would not pay for its gathers
+
+        if plans is not None:
+            nres = estimate_normals_pruned(
+                pts_d, normal_search_radius, plans[0]
+            )
+            self._normals = np.asarray(nres.normals)
+            desc = compute_fpfh_pruned(
+                pts_d, nres.normals, fpfh_search_radius, plans[1]
+            )
+            return np.asarray(desc)
+
         nres = estimate_normals(
             pts_d, normal_search_radius, chunk_size=self._chunk_size
         )

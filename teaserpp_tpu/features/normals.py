@@ -14,6 +14,7 @@ from __future__ import annotations
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -38,8 +39,11 @@ def radius_neighbor_mask(
     return mask
 
 
-@partial(jax.jit, static_argnames=("radius",))
-def _normals_chunk(chunk_pts, pts, viewpoint, radius):
+def _normals_core(chunk_pts, pts, viewpoint, radius):
+    """Covariance-normal math for a (B,) query block against an (M, 3)
+    neighbor-candidate set (the full cloud on the dense path; a gathered
+    grid-hash candidate subset on the pruned path — identical semantics,
+    the candidate set provably contains every true neighbor)."""
     dtype = pts.dtype
     # Work on query-centered differences: the covariance of a radius-r
     # neighborhood is ~r^2 while raw second moments scale with the cloud's
@@ -75,6 +79,52 @@ def _normals_chunk(chunk_pts, pts, viewpoint, radius):
     flip = jnp.sum(normal * to_vp, axis=-1) < 0
     normal = jnp.where(flip[:, None], -normal, normal)
     return normal, curvature, cnt >= 3
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def _normals_chunk(chunk_pts, pts, viewpoint, radius):
+    return _normals_core(chunk_pts, pts, viewpoint, radius)
+
+
+@jax.jit
+def _normals_pruned(q_blocks, sorted_pts_pad, cand_idx, viewpoint, radius):
+    """All query blocks in ONE device program: lax.map over blocks, each
+    gathering its grid-hash candidate subset (features/spatial.py)."""
+
+    def one(args):
+        qp, ci = args
+        return _normals_core(qp, sorted_pts_pad[ci], viewpoint, radius)
+
+    return jax.lax.map(one, (q_blocks, cand_idx))
+
+
+def estimate_normals_pruned(pts, radius, plan, viewpoint=(0.0, 0.0, 0.0)):
+    """Grid-hash-pruned normals: identical semantics to the dense path
+    (the candidate set provably contains every radius neighbor, the exact
+    Euclidean predicate is re-tested on device) at ~3-10% of the pair work.
+    ``plan`` comes from :func:`teaserpp_tpu.features.spatial.
+    build_neighbor_plans` for this radius."""
+    from teaserpp_tpu.features.spatial import SENTINEL, query_blocks, sorted_padded
+
+    pts_np = np.asarray(pts)
+    dtype = jnp.asarray(pts).dtype
+    sp = sorted_padded(pts_np, plan, SENTINEL)
+    qb = query_blocks(sp, plan)
+    vp = jnp.asarray(viewpoint, dtype)
+    nr, cv, ok = _normals_pruned(
+        jnp.asarray(qb, dtype),
+        jnp.asarray(sp, dtype),
+        jnp.asarray(plan.cand_idx),
+        vp,
+        jnp.asarray(radius, dtype),
+    )
+    flat = lambda a: jnp.reshape(a, (plan.nblocks * plan.block,) + a.shape[2:])
+    inv = jnp.asarray(plan.inv)
+    return NormalsResult(
+        normals=flat(nr)[: plan.n][inv],
+        curvatures=flat(cv)[: plan.n][inv],
+        valid=flat(ok)[: plan.n][inv],
+    )
 
 
 def estimate_normals(

@@ -1,0 +1,174 @@
+"""Grid-hash neighbor-candidate plans for the feature front-end.
+
+TPU-native replacement for the reference's kd-tree radius searches (the
+PCL kd-tree inside NormalEstimationOMP / FPFHEstimationOMP, reference
+fpfh.h:59 + fpfh.cc:28-40): per-point tree traversal is pointer-chasing
+that maps terribly to a systolic/vector machine, so instead
+
+  1. points are sorted by spatial grid cell on the host (cheap numpy);
+  2. queries are processed in blocks of consecutive sorted points;
+  3. each block gets a PADDED candidate index list — the union of the
+     sorted-order ranges of every grid cell within Chebyshev cell-distance
+     ``reach = ceil(radius / cell)`` of a cell occupied by the block.
+
+Exactness: a neighbor within ``radius`` of a query lies in a cell within
+``reach`` of the query's cell, so the candidate list provably contains
+every true neighbor; the device kernels re-test the exact Euclidean
+predicate against the candidates, and padding slots point at a sentinel
+row parked far away (inert under every radius test). Because candidacy
+comes from the block's own occupied CELLS — never from a bounding box of
+the block — a block that straddles distant regions (sort-order seam) just
+gets the union of two local neighborhoods, not everything in between.
+
+The result: every downstream pass keeps the dense-path shape (masked
+matmul-style arithmetic over fixed (B, M) tiles, one ``lax.map`` device
+program per pass) but touches ~3-10% of the pairs (measured on the 60K
+golden scene at r=0.02/0.04 and a 100K uniform cloud at r=0.05/0.10).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Sequence
+
+import numpy as np
+
+
+class NeighborPlan(NamedTuple):
+    """Host-built candidate plan for one search radius.
+
+    All downstream device arrays are indexed in SORTED order; ``perm``
+    gathers original -> sorted, ``inv`` scatters sorted -> original.
+    ``cand_idx[b]`` lists candidate point indices (sorted order) for query
+    block ``b``; entries equal to ``n`` are padding and must resolve to a
+    sentinel row appended by the caller.
+    """
+
+    perm: np.ndarray  # (n,) int64: sorted_x = x[perm]
+    inv: np.ndarray  # (n,) int64: x = sorted_x[inv]
+    n: int
+    block: int  # query block size B
+    nblocks: int
+    mpad: int  # padded candidate count M
+    cand_idx: np.ndarray  # (nblocks, mpad) int32, padding == n
+    radius: float
+
+    @property
+    def pair_fraction(self) -> float:
+        """Padded candidate work as a fraction of the dense N^2 work."""
+        return float(self.mpad) / max(self.n, 1)
+
+
+def _cell_keys(pts: np.ndarray, lo: np.ndarray, cell: float):
+    """Integer grid coordinates and packed int64 cell keys."""
+    ijk = np.floor((pts - lo) / cell).astype(np.int64)
+    dims = ijk.max(axis=0) + 1
+    key = (ijk[:, 0] * dims[1] + ijk[:, 1]) * dims[2] + ijk[:, 2]
+    return ijk, key, dims
+
+
+def build_neighbor_plans(
+    pts: np.ndarray,
+    radii: Sequence[float],
+    block: int = 1024,
+    pad_multiple: int = 1024,
+) -> List[NeighborPlan]:
+    """One :class:`NeighborPlan` per radius, sharing a single sort order.
+
+    The grid cell size is the smallest radius (so the shared permutation
+    is the finest ordering any pass needs); larger radii use a larger
+    Chebyshev ``reach`` on the same grid. ``mpad`` is the per-plan max
+    candidate count rounded up to ``pad_multiple`` (bounds recompiles
+    across clouds of similar density).
+    """
+    pts = np.asarray(pts, np.float64)
+    n = len(pts)
+    radii = [float(r) for r in radii]
+    cell = min(radii)
+    if cell <= 0:
+        raise ValueError(f"radii must be positive, got {radii}")
+    lo = pts.min(axis=0)
+    ijk, key, dims = _cell_keys(pts, lo, cell)
+
+    perm = np.argsort(key, kind="stable")
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(n)
+    skey = key[perm]
+    uniq, starts = np.unique(skey, return_index=True)
+    ends = np.append(starts[1:], n)
+    cell_range = {int(k): (int(s), int(e)) for k, s, e in zip(uniq, starts, ends)}
+
+    nblocks = (n + block - 1) // block
+    plans: List[NeighborPlan] = []
+    for radius in radii:
+        reach = int(np.ceil(radius / cell - 1e-12))
+        offs = [
+            (i * dims[1] + j) * dims[2] + k
+            for i in range(-reach, reach + 1)
+            for j in range(-reach, reach + 1)
+            for k in range(-reach, reach + 1)
+        ]
+        block_ranges: List[List[tuple]] = []
+        mmax = 1
+        for b in range(nblocks):
+            blk_cells = np.unique(skey[b * block : min((b + 1) * block, n)])
+            cand = set()
+            for c in blk_cells:
+                ci = int(c)
+                for o in offs:
+                    rr = cell_range.get(ci + o)
+                    if rr is not None:
+                        cand.add(rr)
+            # sorted, coalesced ranges -> mostly-contiguous gathers
+            ranges = sorted(cand)
+            merged = []
+            for s, e in ranges:
+                if merged and s <= merged[-1][1]:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+                else:
+                    merged.append((s, e))
+            block_ranges.append(merged)
+            mmax = max(mmax, sum(e - s for s, e in merged))
+        mpad = ((mmax + pad_multiple - 1) // pad_multiple) * pad_multiple
+        cand_idx = np.full((nblocks, mpad), n, np.int32)
+        for b, merged in enumerate(block_ranges):
+            pos = 0
+            for s, e in merged:
+                cand_idx[b, pos : pos + (e - s)] = np.arange(s, e, dtype=np.int32)
+                pos += e - s
+        plans.append(
+            NeighborPlan(
+                perm=perm,
+                inv=inv,
+                n=n,
+                block=block,
+                nblocks=nblocks,
+                mpad=mpad,
+                cand_idx=cand_idx,
+                radius=radius,
+            )
+        )
+    return plans
+
+
+# Coordinate far outside any plausible scene: padding rows park here so
+# every radius predicate excludes them (1e12^2 = 1e24, comfortably inside
+# f32 range). Matches the parking convention of features/normals.py.
+SENTINEL = 1e12
+
+
+def sorted_padded(arr: np.ndarray, plan: NeighborPlan, fill) -> np.ndarray:
+    """``arr`` gathered to sorted order with one trailing fill row."""
+    arr = np.asarray(arr)
+    tail = np.full((1,) + arr.shape[1:], fill, arr.dtype)
+    return np.concatenate([arr[plan.perm], tail], axis=0)
+
+
+def query_blocks(arr_sorted_padded: np.ndarray, plan: NeighborPlan) -> np.ndarray:
+    """Sorted array reshaped to (nblocks, block, ...) query blocks.
+
+    The tail block is padded with the sentinel row (index ``n``)."""
+    pad = plan.nblocks * plan.block - plan.n
+    idx = np.concatenate(
+        [np.arange(plan.n), np.full(pad, plan.n, np.int64)]
+    ).reshape(plan.nblocks, plan.block)
+    return arr_sorted_padded[idx]

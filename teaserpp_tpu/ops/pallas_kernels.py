@@ -204,3 +204,84 @@ def trim_adjacency_bits_pallas(
     )(src_t, dst_t, src_p, dst_p)
     w = (n + 31) // 32
     return out[:w, :n]
+
+
+def _trim_deg_kernel(src_r, dst_r, srcT_c, dstT_c, out_ref, *, beta: float,
+                     n: int, rows: int):
+    """Accumulate one (cols x rows) tile of TRIM predicates directly into
+    row degrees — the (N, N) mask never exists, even in VMEM beyond one
+    tile. Stripe rows ride the LANE dim (so the degree reduction is a
+    sublane sum, no relayout); candidates ride sublanes transposed."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    c = srcT_c.shape[0]
+
+    def pdist2(tc, tr):  # (c, 8) x (8, rows) -> (c, rows)
+        dx = tc[:, 0:1] - tr[0:1, :]
+        dy = tc[:, 1:2] - tr[1:2, :]
+        dz = tc[:, 2:3] - tr[2:3, :]
+        return dx * dx + dy * dy + dz * dz
+
+    ds = pdist2(srcT_c[:], src_r[:])
+    dd = pdist2(dstT_c[:], dst_r[:])
+    b2 = beta * beta
+    s = ds + dd
+    d = ds - dd
+    pred = (s <= b2) | (d * d <= b2 * (2.0 * s - b2))
+    row_idx = i * rows + jax.lax.broadcasted_iota(jnp.int32, (c, rows), 1)
+    col_idx = j * c + jax.lax.broadcasted_iota(jnp.int32, (c, rows), 0)
+    pred = pred & (row_idx != col_idx) & (row_idx < n) & (col_idx < n)
+    part = jnp.sum(pred.astype(jnp.int32), axis=0, keepdims=True)  # (1, rows)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += jnp.broadcast_to(part, (8, rows))
+
+
+@functools.partial(jax.jit, static_argnames=("beta", "rows", "cols"))
+def trim_degrees_pallas(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    beta: float,
+    rows: int = 256,
+    cols: int = 2048,
+) -> jnp.ndarray:
+    """(N,) int32 TRIM-graph degrees with the pair predicate NEVER
+    materialized (VERDICT r3/r4 stretch: "never materialize the pair
+    predicate"). Each grid step evaluates a (cols x rows) predicate tile in
+    VMEM and folds it straight into the stripe's degree accumulator; HBM
+    only ever sees the (N,) degrees.
+
+    This is the measurement vehicle for the fused predicate-into-degree
+    A/B (PERFORMANCE.md "Kernel notes", r5 addendum): it bounds the best
+    case of fusing the predicate into the k-core FIRST peel round. The
+    peel's LATER rounds still need the adjacency (re-deriving it per round
+    costs the full ~22-VPU-op/pair predicate again vs ~1 op/32-pair
+    popcount word on the bits path), so this kernel can only ever replace
+    round one — see the addendum for the measured verdict.
+    """
+    n = src.shape[-1]
+    n_pad = _round_up(n, math.lcm(rows, cols))
+    src_p = jnp.pad(src.astype(jnp.float32), ((0, 8 - 3), (0, n_pad - n)))
+    dst_p = jnp.pad(dst.astype(jnp.float32), ((0, 8 - 3), (0, n_pad - n)))
+    src_t = src_p.T  # (n_pad, 8)
+    dst_t = dst_p.T
+
+    grid = (n_pad // rows, n_pad // cols)
+    out = pl.pallas_call(
+        functools.partial(_trim_deg_kernel, beta=beta, n=n, rows=rows),
+        out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, rows), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, rows), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cols, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cols, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, rows), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        ),
+    )(src_p, dst_p, src_t, dst_t)
+    return out[0, :n]

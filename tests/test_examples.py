@@ -53,6 +53,24 @@ def test_example_fpfh_registration():
     assert out["trans_err_m"] < 0.05
 
 
+def test_example_quatro_fpfh_registration():
+    """Quatro front-end example (reference quatro_cpp_fpfh.cc analog): a
+    179-deg yaw — near-antipodal, the regime Quatro exists for — recovered
+    by BOTH Quatro and GNC-TLS from FPFH correspondences (the reference
+    example prints the same comparison)."""
+    mod = _load("quatro_fpfh_registration")
+    out = mod.main(stride=3)
+    assert out["n_corr"] > 50
+    assert out["valid_quatro"] and out["valid_gnc_tls"]
+    assert out["rot_err_quatro"] < 1.0
+    assert out["trans_err_quatro"] < 0.05
+    # GNC-TLS also recovers the pose, but less precisely in the
+    # yaw-dominant near-antipodal regime (measured: 0.29 vs 2.36 deg at
+    # stride 3) — the comparison the reference example exists to show
+    assert out["rot_err_gnc_tls"] < 5.0
+    assert out["rot_err_quatro"] <= out["rot_err_gnc_tls"]
+
+
 def test_example_fpfh_icp_registration():
     mod = _load("fpfh_icp_registration")
     out = mod.main(stride=3)

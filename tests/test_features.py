@@ -140,15 +140,17 @@ def test_matcher_self_matching():
         assert i == j
 
 
-@pytest.mark.skipif(
-    os.environ.get("TEASER_TPU_SLOW_TESTS") != "1",
-    reason="60K-point golden matcher scene: bandwidth-bound on the CPU host",
-)
 @requires_ref
 def test_matcher_golden_case_1():
     """Object-in-scene matching vs the reference golden matches
     (matcher-test.cc:41-78). Our NN search is exact (FLANN's is approximate),
-    so we gate on high overlap rather than exact equality."""
+    so we gate on high overlap rather than exact equality.
+
+    Ran only under TEASER_TPU_SLOW_TESTS=1 through r4 (the dense O(N^2)
+    descriptor pass was minutes-long on the 2-vCPU host); the grid-hash
+    pruned front-end (features/spatial.py, r5) brings the 60,865-point
+    scene to ~45 s on this host, so the one FLANN-golden comparison now
+    runs in the suite unconditionally (VERDICT r4 #6)."""
     obj = read_ply(os.path.join(REFERENCE_DATA, "matcher-test-object-1.ply"))
     scene = read_ply(os.path.join(REFERENCE_DATA, "matcher-test-scene-1.ply"))
     fp = FPFHEstimation(chunk_size=2048)
@@ -163,6 +165,97 @@ def test_matcher_golden_case_1():
     refset = set(map(tuple, ref))
     inter = refset & set(corr)
     assert len(inter) / len(refset) > 0.6
+
+
+def _wavy_surface(rng, m=40, offset=2.0):
+    """Surface-like cloud (uneven density via warp) away from the origin."""
+    xs, ys = np.meshgrid(np.linspace(-1, 1, m), np.linspace(-1, 1, m))
+    xs = np.sign(xs) * xs**2  # density varies ~m/2 x across the patch
+    zs = 0.3 * np.sin(2.5 * xs) * np.cos(1.5 * ys) + 0.1 * np.sin(5 * xs * ys)
+    pts = np.stack([xs.ravel(), ys.ravel(), zs.ravel() + offset], axis=1)
+    return pts + rng.normal(scale=0.003, size=pts.shape)
+
+
+def test_normals_grid_matches_dense(rng):
+    """The grid-hash pruned normals pass must reproduce the dense path: the
+    candidate plan provably contains every radius neighbor, so with x64 the
+    only difference is f64 summation order (~1e-12)."""
+    from teaserpp_tpu.features.spatial import build_neighbor_plans
+    from teaserpp_tpu.features.normals import estimate_normals_pruned
+
+    pts = _wavy_surface(rng)
+    r = 0.12
+    (plan,) = build_neighbor_plans(pts, (r,), block=256, pad_multiple=128)
+    assert plan.pair_fraction < 0.7  # the plan actually prunes
+    dense = estimate_normals(jnp.asarray(pts), r, chunk_size=256)
+    pruned = estimate_normals_pruned(jnp.asarray(pts), r, plan)
+    assert np.array_equal(np.asarray(dense.valid), np.asarray(pruned.valid))
+    nd, np_ = np.asarray(dense.normals), np.asarray(pruned.normals)
+    # normals are sign-fixed by the viewpoint flip; compare directly
+    assert np.allclose(nd, np_, atol=1e-9)
+    assert np.allclose(
+        np.asarray(dense.curvatures), np.asarray(pruned.curvatures), atol=1e-9
+    )
+
+
+def test_fpfh_grid_matches_dense(rng):
+    """Grid-pruned FPFH == dense FPFH (same neighbor sets, exact predicate
+    re-tested on device; x64 leaves only summation-order noise)."""
+    from teaserpp_tpu.features.spatial import build_neighbor_plans
+    from teaserpp_tpu.features.fpfh import compute_fpfh, compute_fpfh_pruned
+
+    pts = _wavy_surface(rng)
+    rn, rf = 0.1, 0.18
+    plans = build_neighbor_plans(pts, (rn, rf), block=256, pad_multiple=128)
+    assert all(p.pair_fraction < 0.7 for p in plans)
+    normals = estimate_normals(jnp.asarray(pts), rn, chunk_size=256).normals
+    dense = np.asarray(compute_fpfh(jnp.asarray(pts), normals, rf, chunk_size=256))
+    pruned = np.asarray(
+        compute_fpfh_pruned(jnp.asarray(pts), normals, rf, plans[1])
+    )
+    assert np.allclose(dense, pruned, atol=1e-8)
+
+
+def test_fpfh_estimation_grid_facade_matches_dense(rng):
+    """FPFHEstimation(neighbor_mode='grid') end-to-end vs 'dense'.
+
+    The grid facade also computes NORMALS through the pruned pass, which
+    agree with dense normals only to summation-order rounding (~1e-16) —
+    and PCL's pair-feature swap rule (|angle1| >= |angle2|, reproduced in
+    fpfh.py::_pair_features_block) is CHAOTIC at exact ties: this synthetic
+    surface has pairs with | |angle1| - |angle2| | == 0 exactly, where a
+    1-ulp normal difference legitimately flips the swap branch and moves
+    whole histogram increments (f3 -> -f3). PCL itself has the same
+    discontinuity. So the facade gate is distributional (like the PCL
+    golden-data gate); exact kernel equivalence under SHARED normals is
+    pinned separately by test_fpfh_grid_matches_dense."""
+    pts = _wavy_surface(rng, m=24)
+    d_dense = FPFHEstimation(neighbor_mode="dense").computeFPFHFeatures(
+        pts, 0.12, 0.2
+    )
+    d_grid = FPFHEstimation(neighbor_mode="grid").computeFPFHFeatures(
+        pts, 0.12, 0.2
+    )
+    err = np.abs(d_dense - d_grid)
+    assert (err > 1e-6).mean() < 0.05  # isolated tie/bin flips only
+    assert err.mean() < 0.02
+    d_auto = FPFHEstimation().computeFPFHFeatures(pts, 0.12, 0.2)
+    assert np.array_equal(d_auto, d_dense)  # small cloud -> dense path
+
+
+@requires_ref
+def test_fpfh_bunny_golden_grid_path():
+    """The PCL golden gate of test_fpfh_bunny_golden, forced through the
+    grid-hash pruned path (the bunny is small, so 'auto' would pick dense;
+    this pins the pruned kernels against external golden data too)."""
+    cloud = read_pcd(BUNNY_PCD)
+    ref = np.loadtxt(BUNNY_FPFH).reshape(-1, 33)
+    desc = FPFHEstimation(neighbor_mode="grid").computeFPFHFeatures(
+        cloud, 0.03, 0.05
+    )
+    err = np.abs(desc - ref)
+    assert (err < 1e-3).mean() > 0.90
+    assert err.mean() < 0.01
 
 
 def test_fpfh_registration_end_to_end(rng):
