@@ -143,7 +143,17 @@ def run_pipeline(name, src_pts, dst_pts, r_true, t_true, nb, fpfh_radii):
 
 
 # --- phase 2: f64 certification of the saved rotation-stage problems ----
-NCERT = 300  # certified TIM count (npm = 1204): O(npm^2) mem / O(npm^3) chol
+# Certified TIM count. 150 -> npm = 604, inside the reference's own
+# certification envelope (its random tests run N=100-400). The first r5
+# attempt used 300 (npm=1204): tractable per-iteration (~1 s warm) but the
+# front-end-derived instance is badly conditioned — chain TIMs of real
+# scene geometry have wildly varying norms — and the DRS gap was still at
+# 0.063 after 2000 iterations at rank 256 (contracting ~0.1%/iter, ~4000
+# more to go). Halving N makes each iteration ~8x cheaper and shortens the
+# trajectory, keeping the fragile tunneled worker's exposure low; all TLS
+# outliers are kept, so the certified problem stays the outlier-bearing
+# rotation-stage object.
+NCERT = 150
 
 
 def certify_saved(name):
@@ -186,6 +196,12 @@ def certify_saved(name):
     print(f"{name}: chain {v1f.shape[1]} TIMs ({len(out_idx)} TLS outliers) "
           f"-> certify {len(sel)} TIMs ({n_out} outliers), nb_rot={nb_rot}",
           flush=True)
+    # Rank guidance (PERFORMANCE.md "Certification at scale"): >= 2x the
+    # expected negative-eigenvalue count. The r5 NCERT=300 probe measured
+    # 117 negatives at npm=1204 (~npm/10) via an offline eigh of the
+    # stalled rank-128 checkpoint — the r4 starved regime again — so at
+    # npm=604 expect ~60 and start at 128; certify_checkpointed
+    # self-escalates if that still saturates.
     params_cert = DRSCertifierParams(
         noise_bound=nb_rot,
         eig_decomposition_solver=EigSolverType.ITERATIVE,
@@ -197,7 +213,7 @@ def certify_saved(name):
     t0 = time.time()
     cres = certify_checkpointed(
         r_sub, v1, v2, theta, params_cert, checkpoint_path=ck,
-        checkpoint_every=2, rounds=10, verbose=True,
+        checkpoint_every=2, rounds=20, verbose=True,
     )
     t_cert = time.time() - t0
     print(f"{name}: certify {t_cert:.1f}s optimal={cres.is_optimal} "

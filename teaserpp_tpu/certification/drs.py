@@ -54,7 +54,10 @@ class CertificationResult:
     # False: every is_optimal=True is Cholesky-PROVEN at issue time, so
     # incidental projection partiality along the way is immaterial.
     # DRSCertifier.certify/certify_batch re-enter saturated uncertified runs
-    # with a doubled psd_projection_rank automatically.
+    # with a doubled psd_projection_rank automatically. Under
+    # certify_checkpointed's multi-round driver the flag is per-round (reset
+    # at each rollover): it reports the LAST round's saturation, so an
+    # early-round transient cannot brand a long run saturated.
     rank_saturated: bool = False
 
     def __repr__(self) -> str:
@@ -1058,7 +1061,14 @@ def certify_checkpointed(
         it = int(state[0])
         done = bool(state[4])
         if (it >= max_it) and not done and round_idx + 1 < rounds:
-            # round rollover: reset counter + trajectory, keep dual state
+            # round rollover: reset counter + trajectory, keep dual state.
+            # The saturation flag resets too — it is sticky WITHIN a round,
+            # so carrying it across rounds would let a single early-round
+            # transient (e.g. the iteration-1 basis before the shift-invert
+            # warm start has converged) brand the whole run saturated and
+            # drive a pointless rank escalation at the end. Persistent rank
+            # starvation re-flags itself every round; what gates escalation
+            # (and the reported rank_saturated) is the LAST round's flag.
             prev_traj.extend(float(v) for v in np.asarray(state[3])[:it])
             round_idx += 1
             state = (
@@ -1071,7 +1081,7 @@ def certify_checkpointed(
                 state[6],
                 state[7],
                 state[8],
-                state[9],
+                jnp.asarray(False),
             )
             it = 0
         if done or it >= max_it:
@@ -1165,12 +1175,16 @@ def certify_batch(
         the tunneled-TPU ``axon`` backend; unlimited elsewhere. History of
         the cap: r2 observed worker crashes at width 8; the r3 crash
         post-mortem attributed those to the (since-removed) LOBPCG compile,
-        but the r4 width-reconciliation run crashed the worker at width 4
-        TOO during a fragile-worker day — so "width 8 is safe post-LOBPCG"
-        remains UNVERIFIED end-to-end and the conservative cap stays. For
-        long batched runs on fragile remote backends prefer sequential
-        :func:`certify_checkpointed` calls (resumable) over wide vmaps
-        (one crash loses every lane's progress).
+        but width-4 batched runs crashed the worker in BOTH r4 and r5 —
+        the r5 crash minutes after the same worker completed a 700 s
+        sequential certification, with the sequential mode running clean
+        again right after recovery — so the batched vmap is considered
+        reproducibly fatal on axon regardless of width, "width 8 is safe
+        post-LOBPCG" stays retracted, and the official axon throughput
+        number is measured sequentially (PERFORMANCE.md "certify_batch
+        throughput — the official number"). On fragile remote backends
+        prefer sequential :func:`certify_checkpointed` calls (resumable)
+        over wide vmaps (one crash loses every lane's progress).
     Returns:
       list of :class:`CertificationResult` (host-materialized).
 
