@@ -95,46 +95,57 @@ def build_neighbor_plans(
     skey = key[perm]
     uniq, starts = np.unique(skey, return_index=True)
     ends = np.append(starts[1:], n)
-    cell_range = {int(k): (int(s), int(e)) for k, s, e in zip(uniq, starts, ends)}
 
     nblocks = (n + block - 1) // block
+    ncells = len(uniq)
+    lens = ends - starts
+
+    # unique (block, cell) incidence: which grid cells each query block
+    # occupies — all vectorized (the per-cell Python dict walk this
+    # replaces cost ~3 s at 100K points)
+    block_of = np.arange(n) // block
+    cell_idx_of = np.searchsorted(uniq, skey)  # exact: every skey is in uniq
+    ucode = np.unique(block_of.astype(np.int64) * ncells + cell_idx_of)
+    ub = ucode // ncells  # block of each incidence pair
+    uc = ucode % ncells  # cell index of each incidence pair
+
     plans: List[NeighborPlan] = []
     for radius in radii:
         reach = int(np.ceil(radius / cell - 1e-12))
-        offs = [
-            (i * dims[1] + j) * dims[2] + k
-            for i in range(-reach, reach + 1)
-            for j in range(-reach, reach + 1)
-            for k in range(-reach, reach + 1)
-        ]
-        block_ranges: List[List[tuple]] = []
-        mmax = 1
-        for b in range(nblocks):
-            blk_cells = np.unique(skey[b * block : min((b + 1) * block, n)])
-            cand = set()
-            for c in blk_cells:
-                ci = int(c)
-                for o in offs:
-                    rr = cell_range.get(ci + o)
-                    if rr is not None:
-                        cand.add(rr)
-            # sorted, coalesced ranges -> mostly-contiguous gathers
-            ranges = sorted(cand)
-            merged = []
-            for s, e in ranges:
-                if merged and s <= merged[-1][1]:
-                    merged[-1] = (merged[-1][0], max(merged[-1][1], e))
-                else:
-                    merged.append((s, e))
-            block_ranges.append(merged)
-            mmax = max(mmax, sum(e - s for s, e in merged))
+        offs = np.array(
+            [
+                (i * dims[1] + j) * dims[2] + k
+                for i in range(-reach, reach + 1)
+                for j in range(-reach, reach + 1)
+                for k in range(-reach, reach + 1)
+            ],
+            np.int64,
+        )
+        # mark[b, c] = block b's candidate set includes occupied cell c
+        mark = np.zeros((nblocks, ncells), bool)
+        base = uniq[uc]
+        for o in offs:
+            pos = np.searchsorted(uniq, base + o)
+            pos_c = np.minimum(pos, ncells - 1)
+            hit = uniq[pos_c] == base + o
+            mark[ub[hit], pos_c[hit]] = True
+
+        counts = mark @ lens
+        mmax = max(int(counts.max()), 1)
         mpad = ((mmax + pad_multiple - 1) // pad_multiple) * pad_multiple
         cand_idx = np.full((nblocks, mpad), n, np.int32)
-        for b, merged in enumerate(block_ranges):
-            pos = 0
-            for s, e in merged:
-                cand_idx[b, pos : pos + (e - s)] = np.arange(s, e, dtype=np.int32)
-                pos += e - s
+        for b in range(nblocks):
+            cells_b = np.nonzero(mark[b])[0]
+            if not len(cells_b):
+                continue
+            s_b, l_b = starts[cells_b], lens[cells_b]
+            # multi-arange: concatenate [s, s+l) ranges without a Python loop
+            total = int(l_b.sum())
+            step = np.ones(total, np.int64)
+            step[0] = s_b[0]
+            cs = np.cumsum(l_b)[:-1]
+            step[cs] = s_b[1:] - (s_b[:-1] + l_b[:-1] - 1)
+            cand_idx[b, :total] = np.cumsum(step)
         plans.append(
             NeighborPlan(
                 perm=perm,
