@@ -153,8 +153,15 @@ class Matcher:
             src_pts = src_pts.T
         if tgt_pts.shape[0] == 3 and tgt_pts.shape[1] != 3:
             tgt_pts = tgt_pts.T
-        feats = [np.asarray(source_features, np.float64),
-                 np.asarray(target_features, np.float64)]
+        # Features go straight to device f32 with no host f64 detour: a
+        # jax-array input (e.g. descriptors straight out of compute_fpfh)
+        # is cast on device — no download/re-upload; a numpy input is
+        # cast host-side once. (The old float64 round-trip cost ~0.8 s of
+        # the 100K x 100K matcher's 2.9 s wall.)
+        feats = [
+            f if isinstance(f, jax.Array) else np.asarray(f, np.float32)
+            for f in (source_features, target_features)
+        ]
         clouds = [src_pts, tgt_pts]
 
         # normalizePoints (matcher.cc:55-113): mean-center both clouds; scale
@@ -174,8 +181,8 @@ class Matcher:
             swapped = True
         n_i = clouds[fi].shape[0]
 
-        feat_i = jnp.asarray(feats[fi], jnp.float32)
-        feat_j = jnp.asarray(feats[fj], jnp.float32)
+        feat_i = jnp.asarray(feats[fi]).astype(jnp.float32)
+        feat_j = jnp.asarray(feats[fj]).astype(jnp.float32)
         # NN of each j-feature among i-features, and vice versa
         nn_i_of_j = np.asarray(_nn_indices_jit(feat_j, feat_i))  # (n_j,)
         nn_j_of_i = np.asarray(_nn_indices_jit(feat_i, feat_j))  # (n_i,)

@@ -176,6 +176,35 @@ def _wavy_surface(rng, m=40, offset=2.0):
     return pts + rng.normal(scale=0.003, size=pts.shape)
 
 
+def test_neighbor_plan_coverage_property(rng):
+    """Exactness property of the grid-hash plans: for random non-uniform
+    clouds and radii, every true radius neighbor of every query appears in
+    the query block's candidate list (the provable-coverage claim the
+    pruned kernels rely on), and padding entries are exactly n."""
+    from teaserpp_tpu.features.spatial import build_neighbor_plans
+
+    for trial in range(3):
+        n = int(rng.integers(300, 900))
+        # clustered, anisotropic cloud: stress uneven cell occupancy
+        centers = rng.normal(size=(5, 3)) * 2
+        pts = (
+            centers[rng.integers(0, 5, n)]
+            + rng.normal(size=(n, 3)) * rng.uniform(0.05, 0.5)
+        )
+        radii = sorted(rng.uniform(0.08, 0.6, size=2))
+        plans = build_neighbor_plans(pts, radii, block=128, pad_multiple=64)
+        for plan, r in zip(plans, radii):
+            sp = pts[plan.perm]
+            assert ((plan.cand_idx >= 0) & (plan.cand_idx <= plan.n)).all()
+            d2 = ((sp[:, None, :] - sp[None, :, :]) ** 2).sum(-1)
+            for qs in range(plan.n):
+                nbr = np.where(d2[qs] <= r * r)[0]
+                cand = plan.cand_idx[qs // plan.block]
+                assert np.isin(nbr, cand).all(), (
+                    f"trial {trial}: query {qs} missing neighbors at r={r}"
+                )
+
+
 def test_normals_grid_matches_dense(rng):
     """The grid-hash pruned normals pass must reproduce the dense path: the
     candidate plan provably contains every radius neighbor, so with x64 the
