@@ -162,33 +162,102 @@ def _fpfh_pruned(q_pts, sorted_pts, sorted_spfh, cand_idx, radius):
     return jax.lax.map(one, (q_pts, cand_idx))
 
 
+@partial(jax.jit, static_argnames=("mesh", "axis"))
+def _spfh_pruned_sharded(q_pts, q_normals, sorted_pts, sorted_normals,
+                         cand_idx, radius, mesh, axis):
+    from jax.sharding import PartitionSpec as P
+
+    def local(qp, qn, sp, sn, ci, r):
+        def one(args):
+            p, nr, c = args
+            ones = jnp.ones((p.shape[0],), sp.dtype)
+            return _spfh_core(p, nr, ones, sp[c], sn[c], r)
+
+        return jax.lax.map(one, (qp, qn, ci))
+
+    # check_vma=False: purely per-shard map (no collectives); the
+    # jacobi fori_loop's constant-init carry trips the VMA checker
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(axis), P(axis), P(), P(), P(axis), P()),
+        out_specs=P(axis),
+    )(q_pts, q_normals, sorted_pts, sorted_normals, cand_idx, radius)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis"))
+def _fpfh_pruned_sharded(q_pts, sorted_pts, sorted_spfh, cand_idx, radius,
+                         mesh, axis):
+    from jax.sharding import PartitionSpec as P
+
+    def local(qp, sp, sf, ci, r):
+        return jax.lax.map(
+            lambda a: _fpfh_core(a[0], sp[a[1]], sf[a[1]], r), (qp, ci)
+        )
+
+    # check_vma=False: purely per-shard map (no collectives); the
+    # jacobi fori_loop's constant-init carry trips the VMA checker
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(axis), P(), P(), P(axis), P()),
+        out_specs=P(axis),
+    )(q_pts, sorted_pts, sorted_spfh, cand_idx, radius)
+
+
 def compute_fpfh_pruned(
-    pts: jnp.ndarray, normals: jnp.ndarray, radius: float, plan
+    pts: jnp.ndarray, normals: jnp.ndarray, radius: float, plan, mesh=None
 ) -> jnp.ndarray:
     """(N, 33) FPFH via a grid-hash :class:`~teaserpp_tpu.features.spatial.
     NeighborPlan` — identical neighbor semantics to :func:`compute_fpfh`
     (the candidate set provably contains every radius neighbor; the exact
-    predicate is re-tested on device) at ~3-10% of the pair work."""
-    from teaserpp_tpu.features.spatial import SENTINEL, query_blocks, sorted_padded
+    predicate is re-tested on device) at ~3-10% of the pair work. With
+    ``mesh``, query blocks are sharded over the mesh's first axis (the
+    sorted cloud + SPFH table replicate; devices work disjoint blocks —
+    the front-end analog of the solver's row-sharded O(N^2) path)."""
+    from teaserpp_tpu.features.spatial import (
+        SENTINEL, pad_block_count, query_blocks, sorted_padded,
+    )
 
     dtype = jnp.asarray(pts).dtype
     sp = sorted_padded(np.asarray(pts), plan, SENTINEL)
     sn = sorted_padded(np.asarray(normals), plan, 0.0)
-    qb_p = jnp.asarray(query_blocks(sp, plan), dtype)
-    qb_n = jnp.asarray(query_blocks(sn, plan), dtype)
+    qb_pts = query_blocks(sp, plan)
+    qb_nrm = query_blocks(sn, plan)
+    ci_np = plan.cand_idx
+    if mesh is not None:
+        axis = mesh.axis_names[0]
+        ndev = mesh.shape[axis]
+        qb_pts, ci_np = pad_block_count(qb_pts, plan, ndev)
+        qb_nrm, _ = pad_block_count(qb_nrm, plan, ndev)
+    qb_p = jnp.asarray(qb_pts, dtype)
+    qb_n = jnp.asarray(qb_nrm, dtype)
     sp_d = jnp.asarray(sp, dtype)
     sn_d = jnp.asarray(sn, dtype)
-    ci = jnp.asarray(plan.cand_idx)
+    ci = jnp.asarray(ci_np)
     r_d = jnp.asarray(radius, dtype)
+    nblocks = qb_p.shape[0]
 
-    spfh = _spfh_pruned(qb_p, qb_n, sp_d, sn_d, ci, r_d)
-    spfh_flat = spfh.reshape(plan.nblocks * plan.block, 3 * _NR_BINS)[: plan.n]
+    if mesh is None:
+        spfh = _spfh_pruned(qb_p, qb_n, sp_d, sn_d, ci, r_d)
+    else:
+        spfh = _spfh_pruned_sharded(
+            qb_p, qb_n, sp_d, sn_d, ci, r_d, mesh, mesh.axis_names[0]
+        )
+    spfh_flat = spfh.reshape(nblocks * plan.block, 3 * _NR_BINS)[: plan.n]
     # re-pad the sorted SPFH table with a zero row for candidate gathers
     spfh_sorted = jnp.concatenate(
         [spfh_flat, jnp.zeros((1, 3 * _NR_BINS), dtype)], axis=0
     )
-    fpfh = _fpfh_pruned(qb_p, sp_d, spfh_sorted, ci, r_d)
-    flat = fpfh.reshape(plan.nblocks * plan.block, 3 * _NR_BINS)[: plan.n]
+    if mesh is None:
+        fpfh = _fpfh_pruned(qb_p, sp_d, spfh_sorted, ci, r_d)
+    else:
+        fpfh = _fpfh_pruned_sharded(
+            qb_p, sp_d, spfh_sorted, ci, r_d, mesh, mesh.axis_names[0]
+        )
+    flat = fpfh.reshape(nblocks * plan.block, 3 * _NR_BINS)[: plan.n]
     return flat[jnp.asarray(plan.inv)]
 
 

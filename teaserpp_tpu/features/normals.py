@@ -98,27 +98,72 @@ def _normals_pruned(q_blocks, sorted_pts_pad, cand_idx, viewpoint, radius):
     return jax.lax.map(one, (q_blocks, cand_idx))
 
 
-def estimate_normals_pruned(pts, radius, plan, viewpoint=(0.0, 0.0, 0.0)):
+@partial(jax.jit, static_argnames=("mesh", "axis"))
+def _normals_pruned_sharded(q_blocks, sorted_pts_pad, cand_idx, viewpoint,
+                            radius, mesh, axis):
+    """Query blocks sharded over ``mesh[axis]``; the (small) sorted cloud
+    is replicated and each device runs its local blocks — the front-end
+    analog of the solver's row-sharded O(N^2) path (SURVEY §2.5)."""
+    from jax.sharding import PartitionSpec as P
+
+    def local(qb, ci, sp, vp, r):
+        return jax.lax.map(
+            lambda a: _normals_core(a[0], sp[a[1]], vp, r), (qb, ci)
+        )
+
+    # check_vma=False: purely per-shard map (no collectives); the
+    # jacobi fori_loop's constant-init carry trips the VMA checker
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(axis), P(axis), P(), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )(q_blocks, cand_idx, sorted_pts_pad, viewpoint, radius)
+
+
+def estimate_normals_pruned(pts, radius, plan, viewpoint=(0.0, 0.0, 0.0),
+                            mesh=None):
     """Grid-hash-pruned normals: identical semantics to the dense path
     (the candidate set provably contains every radius neighbor, the exact
     Euclidean predicate is re-tested on device) at ~3-10% of the pair work.
     ``plan`` comes from :func:`teaserpp_tpu.features.spatial.
-    build_neighbor_plans` for this radius."""
-    from teaserpp_tpu.features.spatial import SENTINEL, query_blocks, sorted_padded
+    build_neighbor_plans` for this radius. With ``mesh``, query blocks are
+    sharded over the mesh's first axis (bitwise-identical per-block math,
+    devices work disjoint blocks)."""
+    from teaserpp_tpu.features.spatial import (
+        SENTINEL, pad_block_count, query_blocks, sorted_padded,
+    )
 
     pts_np = np.asarray(pts)
     dtype = jnp.asarray(pts).dtype
     sp = sorted_padded(pts_np, plan, SENTINEL)
     qb = query_blocks(sp, plan)
     vp = jnp.asarray(viewpoint, dtype)
-    nr, cv, ok = _normals_pruned(
-        jnp.asarray(qb, dtype),
-        jnp.asarray(sp, dtype),
-        jnp.asarray(plan.cand_idx),
-        vp,
-        jnp.asarray(radius, dtype),
-    )
-    flat = lambda a: jnp.reshape(a, (plan.nblocks * plan.block,) + a.shape[2:])
+    if mesh is None:
+        nr, cv, ok = _normals_pruned(
+            jnp.asarray(qb, dtype),
+            jnp.asarray(sp, dtype),
+            jnp.asarray(plan.cand_idx),
+            vp,
+            jnp.asarray(radius, dtype),
+        )
+        nblocks = plan.nblocks
+    else:
+        axis = mesh.axis_names[0]
+        ndev = mesh.shape[axis]
+        qb_p, ci_p = pad_block_count(qb, plan, ndev)
+        nr, cv, ok = _normals_pruned_sharded(
+            jnp.asarray(qb_p, dtype),
+            jnp.asarray(sp, dtype),
+            jnp.asarray(ci_p),
+            vp,
+            jnp.asarray(radius, dtype),
+            mesh,
+            axis,
+        )
+        nblocks = qb_p.shape[0]
+    flat = lambda a: jnp.reshape(a, (nblocks * plan.block,) + a.shape[2:])
     inv = jnp.asarray(plan.inv)
     return NormalsResult(
         normals=flat(nr)[: plan.n][inv],

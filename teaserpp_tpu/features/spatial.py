@@ -183,3 +183,27 @@ def query_blocks(arr_sorted_padded: np.ndarray, plan: NeighborPlan) -> np.ndarra
         [np.arange(plan.n), np.full(pad, plan.n, np.int64)]
     ).reshape(plan.nblocks, plan.block)
     return arr_sorted_padded[idx]
+
+
+def pad_block_count(qb: np.ndarray, plan: NeighborPlan, multiple: int):
+    """(query_blocks, cand_idx) padded with inert blocks so the block count
+    divides ``multiple`` (mesh sharding needs equal per-device shares).
+    Padding query rows sit at the sentinel coordinate; padding candidate
+    lists are all-``n`` (the sentinel row), so padded blocks compute
+    nothing and their rows are sliced off by the caller."""
+    nb = qb.shape[0]
+    target = ((nb + multiple - 1) // multiple) * multiple
+    if target == nb:
+        return qb, plan.cand_idx
+    extra = target - nb
+    qb_pad = np.concatenate(
+        [qb, np.full((extra,) + qb.shape[1:], SENTINEL, qb.dtype)], axis=0
+    )
+    ci_pad = np.concatenate(
+        [
+            plan.cand_idx,
+            np.full((extra, plan.mpad), plan.n, plan.cand_idx.dtype),
+        ],
+        axis=0,
+    )
+    return qb_pad, ci_pad

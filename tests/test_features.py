@@ -245,6 +245,40 @@ def test_fpfh_grid_matches_dense(rng):
     assert np.allclose(dense, pruned, atol=1e-8)
 
 
+def test_fpfh_grid_sharded_matches_single_device(rng):
+    """Mesh-sharded pruned front-end == single-device pruned front-end,
+    bitwise: blocks are disjoint work, the sorted cloud replicates, so
+    sharding cannot change any value (8-device virtual mesh). The
+    front-end analog of the solver's sharded-vs-unsharded determinism
+    tests (SURVEY §5 race checks)."""
+    import jax
+    from jax.sharding import Mesh
+    from teaserpp_tpu.features.spatial import build_neighbor_plans
+    from teaserpp_tpu.features.normals import estimate_normals_pruned
+    from teaserpp_tpu.features.fpfh import compute_fpfh_pruned
+
+    pts = _wavy_surface(rng)
+    rn, rf = 0.1, 0.18
+    plans = build_neighbor_plans(pts, (rn, rf), block=128, pad_multiple=128)
+    mesh = Mesh(np.array(jax.devices()), ("blocks",))
+
+    n_single = estimate_normals_pruned(jnp.asarray(pts), rn, plans[0])
+    n_shard = estimate_normals_pruned(jnp.asarray(pts), rn, plans[0], mesh=mesh)
+    assert np.array_equal(
+        np.asarray(n_single.normals), np.asarray(n_shard.normals)
+    )
+    assert np.array_equal(
+        np.asarray(n_single.valid), np.asarray(n_shard.valid)
+    )
+    d_single = compute_fpfh_pruned(
+        jnp.asarray(pts), n_single.normals, rf, plans[1]
+    )
+    d_shard = compute_fpfh_pruned(
+        jnp.asarray(pts), n_single.normals, rf, plans[1], mesh=mesh
+    )
+    assert np.array_equal(np.asarray(d_single), np.asarray(d_shard))
+
+
 def test_fpfh_estimation_grid_facade_matches_dense(rng):
     """FPFHEstimation(neighbor_mode='grid') end-to-end vs 'dense'.
 
