@@ -179,6 +179,42 @@ def test_full_certification_trajectory(case):
     assert abs(result.best_suboptimality - ref_traj.min()) < TOL
 
 
+def test_iterative_gap_proven_zero_on_psd(rng):
+    """ADVICE r4: the public ITERATIVE gap must return EXACTLY 0 for a PSD
+    matrix (proved by a Cholesky of the matrix itself), matching DENSE and
+    the reference's min_eig > 0 -> 0 branch (certification.cc:221-225) —
+    previously the proven lower bound carried a strictly negative floor
+    (-1e-10*Gershgorin), which in the small-mu near-clean regime could
+    exceed the certificate threshold and flip an optimal verdict."""
+    import jax.numpy as jnp
+
+    from teaserpp_tpu.params import EigSolverType
+
+    npm = 60
+    a = rng.standard_normal((npm, npm))
+    psd = a @ a.T + np.eye(npm)  # comfortably PD
+    mu = jnp.asarray(1e-3)  # tiny mu: the old floor would give gap ~ 0.1
+    for solver in (EigSolverType.DENSE, EigSolverType.ITERATIVE):
+        gap = float(
+            suboptimality_gap(jnp.asarray(psd), mu, (npm - 4) // 4, solver)
+        )
+        assert gap == 0.0, f"{solver}: gap {gap} != 0 on a PSD matrix"
+    # and an indefinite matrix still reports a positive gap both ways
+    indef = psd - 3.0 * np.eye(npm)
+    g_dense = float(
+        suboptimality_gap(jnp.asarray(indef), mu, (npm - 4) // 4,
+                          EigSolverType.DENSE)
+    )
+    g_iter = float(
+        suboptimality_gap(jnp.asarray(indef), mu, (npm - 4) // 4,
+                          EigSolverType.ITERATIVE)
+    )
+    assert g_dense > 0 and g_iter > 0
+    # ITERATIVE is a proven bound: conservative (>= dense), but tight
+    assert g_iter >= g_dense * (1 - 1e-9)
+    assert g_iter <= g_dense * 1.01
+
+
 def test_random_certification_optimal(rng):
     """Random clean problems must certify as optimal
     (reference certification-test.cc:530-644 analog, smaller N)."""
