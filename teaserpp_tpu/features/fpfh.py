@@ -312,14 +312,19 @@ class FPFHEstimation:
       * ``"auto"``   — grid when the cloud is large enough for pruning to
         win (N >= 8192) AND the plan actually prunes (candidate work
         < 70% of dense); dense otherwise.
+
+    ``mesh`` (optional jax.sharding.Mesh) shards the grid path's query
+    blocks over the mesh's first axis (ignored on the dense path).
     """
 
-    def __init__(self, chunk_size: int = 1024, neighbor_mode: str = "auto"):
+    def __init__(self, chunk_size: int = 1024, neighbor_mode: str = "auto",
+                 mesh=None):
         if neighbor_mode not in ("auto", "dense", "grid"):
             raise ValueError(f"unknown neighbor_mode: {neighbor_mode!r}")
         self._normals = np.zeros((0, 3))
         self._chunk_size = chunk_size
         self._neighbor_mode = neighbor_mode
+        self._mesh = mesh
 
     def computeFPFHFeatures(
         self,
@@ -350,11 +355,12 @@ class FPFHEstimation:
 
         if plans is not None:
             nres = estimate_normals_pruned(
-                pts_d, normal_search_radius, plans[0]
+                pts_d, normal_search_radius, plans[0], mesh=self._mesh
             )
             self._normals = np.asarray(nres.normals)
             desc = compute_fpfh_pruned(
-                pts_d, nres.normals, fpfh_search_radius, plans[1]
+                pts_d, nres.normals, fpfh_search_radius, plans[1],
+                mesh=self._mesh,
             )
             return np.asarray(desc)
 

@@ -278,6 +278,15 @@ def test_fpfh_grid_sharded_matches_single_device(rng):
     )
     assert np.array_equal(np.asarray(d_single), np.asarray(d_shard))
 
+    # facade pass-through: FPFHEstimation(mesh=...) == no-mesh, bitwise
+    f_plain = FPFHEstimation(neighbor_mode="grid").computeFPFHFeatures(
+        pts, rn, rf
+    )
+    f_mesh = FPFHEstimation(neighbor_mode="grid", mesh=mesh).computeFPFHFeatures(
+        pts, rn, rf
+    )
+    assert np.array_equal(f_plain, f_mesh)
+
 
 def test_fpfh_estimation_grid_facade_matches_dense(rng):
     """FPFHEstimation(neighbor_mode='grid') end-to-end vs 'dense'.
