@@ -80,10 +80,10 @@ def time_dense(tag, pts, rn, rf):
     t_f = time.time() - t0
     print(f"{tag} dense: normals {t_n:.2f}s  spfh+fpfh {t_f:.2f}s  "
           f"total {t_n + t_f:.2f}s", flush=True)
-    # per-chunk anatomy of the SPFH pass: device time per chunk dispatch
+    # per-chunk anatomy of the SPFH pass: device time for one FULL chunk
+    # (the ragged tail chunk is not represented — same shape, masked rows)
     normals = nres.normals
-    pad = CHUNK - (n % CHUNK or CHUNK)
-    cp = jnp.pad(pts_d[:CHUNK], ((0, 0), (0, 0)))
+    cp = pts_d[:CHUNK]
     cn = normals[:CHUNK]
     cv = jnp.ones((CHUNK,), jnp.float32)
     fetch(_spfh_chunk(cp, cn, cv, pts_d, normals, rf))  # warm

@@ -358,20 +358,23 @@ def _proven_lam_min_lb(sym: jnp.ndarray, est: jnp.ndarray) -> jnp.ndarray:
     """Cholesky-PROVEN lower bound on lambda_min, tightened near ``est``.
 
     A successful Cholesky of ``sym + c*I`` proves ``lambda_min >= -c``.
-    A PSD input is handled first: Cholesky of ``sym`` itself succeeding
-    proves ``lambda_min >= 0`` and the bound returned is exactly 0 — the
-    analog of the reference's ``min_eig > 0 -> gap 0`` branch
-    (certification.cc:221-225) and of the DENSE path here, so an
-    already-optimal instance reports gap 0 rather than a floor-sized
-    residual (which in the small-mu near-clean regime could exceed the
-    certificate threshold and flip a genuinely optimal verdict).
-    Otherwise ``est`` is an (above-biased) Ritz estimate: when the single
-    proof attempt at ``c ~= -est`` succeeds, the estimate is thereby
-    certified accurate (one factorization, the common case). When it
-    fails — the estimate was unconverged — the bound is bracketed by
-    doubling ``c`` until the factorization succeeds and then tightened by
-    bisection, so the returned value is a sound lower bound regardless of
-    Lanczos convergence.
+    ``est`` is an (above-biased) Ritz estimate — a Ritz value always lies
+    in [lambda_min, lambda_max], so ``est >= 0`` is exactly the regime
+    where the matrix MAY be PSD (a PSD matrix guarantees est >= 0): the
+    single proof attempt is then made at ``c = 0``, and on success the
+    bound is exactly 0 — the analog of the reference's
+    ``min_eig > 0 -> gap 0`` branch (certification.cc:221-225) and of the
+    DENSE path here, so an already-optimal instance reports gap 0 rather
+    than a floor-sized residual (which in the small-mu near-clean regime
+    could exceed the certificate threshold and flip a genuinely optimal
+    verdict, ADVICE r4). With ``est < 0`` the matrix is provably not PSD
+    (lambda_min <= est < 0) and the attempt is made at ``c ~= -est``; a
+    success certifies the estimate accurate. Either way the common case
+    is ONE factorization. When the attempt fails — the estimate was
+    unconverged — the bound is bracketed by doubling ``c`` from the floor
+    until the factorization succeeds and then tightened by bisection, so
+    the returned value is a sound lower bound regardless of Lanczos
+    convergence.
     """
     npm = sym.shape[-1]
     eye = jnp.eye(npm, dtype=sym.dtype)
@@ -383,8 +386,11 @@ def _proven_lam_min_lb(sym: jnp.ndarray, est: jnp.ndarray) -> jnp.ndarray:
         chol = jnp.linalg.cholesky(sym + c * eye)
         return jnp.logical_not(jnp.any(jnp.isnan(chol)))
 
-    ok_psd = ok(jnp.zeros((), sym.dtype))
-    c0 = jnp.maximum(-est, 0.0) * (1.0 + 1e-8) + floor
+    c0 = jnp.where(
+        est >= 0,
+        jnp.zeros((), sym.dtype),
+        jnp.maximum(-est, 0.0) * (1.0 + 1e-8) + floor,
+    )
     ok0 = ok(c0)
 
     def bracket_then_bisect(c_start):
@@ -410,8 +416,12 @@ def _proven_lam_min_lb(sym: jnp.ndarray, est: jnp.ndarray) -> jnp.ndarray:
         _, c_hi = jax.lax.fori_loop(0, 32, bis, (c_hi * 0.5, c_hi))
         return c_hi
 
-    c = jax.lax.cond(ok0, lambda s: s, bracket_then_bisect, c0)
-    return jnp.where(ok_psd, jnp.zeros((), sym.dtype), -c)
+    # the doubling walk must start strictly positive (c0 may be exactly 0)
+    c = jax.lax.cond(
+        ok0, lambda s: s, bracket_then_bisect, jnp.maximum(c0, floor)
+    )
+    # ok0 at c0 == 0 proves lambda_min >= 0: return exactly 0, not -floor
+    return jnp.where(ok0, -c0, -c)
 
 
 def _chol_shifted(sym: jnp.ndarray, sigma0: jnp.ndarray):

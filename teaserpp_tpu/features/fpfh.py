@@ -110,11 +110,7 @@ def _spfh_core(chunk_pts, chunk_normals, chunk_valid, pts, normals, radius):
     return jnp.concatenate([hist(b1), hist(b2), hist(b3)], axis=-1)
 
 
-_spfh_chunk = partial(jax.jit, static_argnames=("radius",))(
-    lambda chunk_pts, chunk_normals, chunk_valid, pts, normals, radius: (
-        _spfh_core(chunk_pts, chunk_normals, chunk_valid, pts, normals, radius)
-    )
-)
+_spfh_chunk = partial(jax.jit, static_argnames=("radius",))(_spfh_core)
 
 
 def _fpfh_core(chunk_pts, pts, spfh, radius):
@@ -132,9 +128,7 @@ def _fpfh_core(chunk_pts, pts, spfh, radius):
     return jnp.concatenate(out, axis=-1)
 
 
-_fpfh_chunk = partial(jax.jit, static_argnames=("radius",))(
-    lambda chunk_pts, pts, spfh, radius: _fpfh_core(chunk_pts, pts, spfh, radius)
-)
+_fpfh_chunk = partial(jax.jit, static_argnames=("radius",))(_fpfh_core)
 
 
 @jax.jit
@@ -221,6 +215,13 @@ def compute_fpfh_pruned(
         SENTINEL, pad_block_count, query_blocks, sorted_padded,
     )
 
+    if float(radius) > plan.radius * (1 + 1e-9):
+        raise ValueError(
+            f"radius {radius} exceeds plan.radius {plan.radius}: the plan's "
+            "candidate lists only provably cover plan.radius — neighbors "
+            "beyond it would be silently dropped. Build a plan for this "
+            "radius."
+        )
     dtype = jnp.asarray(pts).dtype
     sp = sorted_padded(np.asarray(pts), plan, SENTINEL)
     sn = sorted_padded(np.asarray(normals), plan, 0.0)
@@ -342,8 +343,18 @@ class FPFHEstimation:
         n = len(pts)
 
         plans = None
+        # auto mode also requires a sane radius ratio: the plan grid's cell
+        # is the SMALLER radius, so a large fpfh/normal radius ratio blows
+        # up the neighbor-cell count cubically (build_neighbor_plans
+        # raises past reach 7; auto just falls back to dense)
+        ratio_ok = (
+            min(normal_search_radius, fpfh_search_radius) > 0
+            and max(normal_search_radius, fpfh_search_radius)
+            / min(normal_search_radius, fpfh_search_radius)
+            <= 7
+        )
         if self._neighbor_mode == "grid" or (
-            self._neighbor_mode == "auto" and n >= 8192
+            self._neighbor_mode == "auto" and n >= 8192 and ratio_ok
         ):
             plans = build_neighbor_plans(
                 pts, (normal_search_radius, fpfh_search_radius)

@@ -135,6 +135,13 @@ def estimate_normals_pruned(pts, radius, plan, viewpoint=(0.0, 0.0, 0.0),
         SENTINEL, pad_block_count, query_blocks, sorted_padded,
     )
 
+    if float(radius) > plan.radius * (1 + 1e-9):
+        raise ValueError(
+            f"radius {radius} exceeds plan.radius {plan.radius}: the plan's "
+            "candidate lists only provably cover plan.radius — neighbors "
+            "beyond it would be silently dropped. Build a plan for this "
+            "radius."
+        )
     pts_np = np.asarray(pts)
     dtype = jnp.asarray(pts).dtype
     sp = sorted_padded(pts_np, plan, SENTINEL)

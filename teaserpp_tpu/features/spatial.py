@@ -112,6 +112,15 @@ def build_neighbor_plans(
     plans: List[NeighborPlan] = []
     for radius in radii:
         reach = int(np.ceil(radius / cell - 1e-12))
+        if (2 * reach + 1) ** 3 > 4096:  # reach > 7
+            raise ValueError(
+                f"radius {radius} needs Chebyshev reach {reach} on the cell "
+                f"grid (cell={cell}, set by the smallest radius): "
+                f"{(2 * reach + 1) ** 3} neighbor-cell offsets is past the "
+                "practical grid-hash regime (host plan build would blow up "
+                "cubically). Use closer radii, separate plans per radius, "
+                "or the dense path."
+            )
         offs = np.array(
             [
                 (i * dims[1] + j) * dims[2] + k

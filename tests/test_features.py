@@ -205,6 +205,29 @@ def test_neighbor_plan_coverage_property(rng):
                 )
 
 
+def test_neighbor_plan_guards(rng):
+    """Misuse guards (r5 review): a radius larger than the plan's radius
+    must raise (candidate lists only cover plan.radius — silent neighbor
+    loss otherwise); a cubically-exploding radius ratio must raise at plan
+    build; FPFHEstimation 'auto' falls back to dense on such ratios."""
+    from teaserpp_tpu.features.spatial import build_neighbor_plans
+    from teaserpp_tpu.features.normals import estimate_normals_pruned
+    from teaserpp_tpu.features.fpfh import compute_fpfh_pruned
+
+    pts = _wavy_surface(rng, m=16)
+    (plan,) = build_neighbor_plans(pts, (0.1,), block=64, pad_multiple=64)
+    with pytest.raises(ValueError, match="exceeds plan.radius"):
+        estimate_normals_pruned(jnp.asarray(pts), 0.2, plan)
+    normals = estimate_normals(jnp.asarray(pts), 0.1, chunk_size=64).normals
+    with pytest.raises(ValueError, match="exceeds plan.radius"):
+        compute_fpfh_pruned(jnp.asarray(pts), normals, 0.2, plan)
+    with pytest.raises(ValueError, match="grid-hash regime"):
+        build_neighbor_plans(pts, (0.005, 0.25))
+    # 'auto' must not die on the same ratio — it takes the dense path
+    d = FPFHEstimation().computeFPFHFeatures(pts, 0.02, 0.3)
+    assert d.shape == (len(pts), 33)
+
+
 def test_normals_grid_matches_dense(rng):
     """The grid-hash pruned normals pass must reproduce the dense path: the
     candidate plan provably contains every radius neighbor, so with x64 the
