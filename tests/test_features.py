@@ -408,6 +408,28 @@ def test_fpfh_registration_end_to_end(rng):
     assert translation_error(sol.translation, t) < 0.05
 
 
+def test_matcher_device_resident_inputs_match_numpy(rng):
+    """Device-resident (jax array) descriptor inputs — the pipeline case,
+    skipping the host round-trip — must produce exactly the numpy-input
+    correspondences (r5 matcher transfer fix)."""
+    n = 500
+    base = (rng.random((n, 33)) * 100).astype(np.float32)
+    pert = base + rng.standard_normal((n, 33)).astype(np.float32) * 0.5
+    pts = rng.random((n, 3))
+    m = Matcher()
+    c_np = m.calculateCorrespondences(pts, pts, base, pert, False, True, False, 0.0)
+    c_dev = m.calculateCorrespondences(
+        pts, pts, jnp.asarray(base), jnp.asarray(pert), False, True, False, 0.0
+    )
+    assert c_np == c_dev
+    # f64 numpy input (the x64 test regime) also matches: NN runs f32 both ways
+    c_64 = m.calculateCorrespondences(
+        pts, pts, base.astype(np.float64), pert.astype(np.float64),
+        False, True, False, 0.0,
+    )
+    assert c_np == c_64
+
+
 def test_matcher_generic_descriptor_dimension(rng):
     """The matcher accepts arbitrary-D descriptors (e.g. 32-D 3DSmoothNet),
     not only 33-bin FPFH (reference matcher templates over feature vectors)."""
