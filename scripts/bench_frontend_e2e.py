@@ -74,13 +74,25 @@ def rigid_copy(pts, rng, noise=0.005):
 
 def run_pipeline(name, src_pts, dst_pts, r_true, t_true, nb, fpfh_radii):
     """src/dst: (N, 3) numpy. Prints per-stage wall times."""
-    n = len(src_pts)
-    fp = FPFHEstimation(chunk_size=2048)
+    from teaserpp_tpu.features import build_neighbor_plans
+    from teaserpp_tpu.features.fpfh import compute_fpfh_pruned
+    from teaserpp_tpu.features.normals import estimate_normals_pruned
 
-    # --- stage 1: descriptors (both clouds)
+    n = len(src_pts)
+
+    # --- stage 1: descriptors (both clouds), device-resident end-to-end
+    # (functional grid API: descriptors stay on device for the matcher —
+    # the facade's numpy return would round-trip 2 x 13 MB via the relay)
+    def descriptors(pts):
+        plans = build_neighbor_plans(pts, fpfh_radii)
+        pts_d = jnp.asarray(pts, jnp.float32)
+        nres = estimate_normals_pruned(pts_d, fpfh_radii[0], plans[0])
+        return compute_fpfh_pruned(pts_d, nres.normals, fpfh_radii[1], plans[1])
+
     t0 = time.time()
-    sd = np.asarray(fp.computeFPFHFeatures(src_pts, *fpfh_radii))
-    dd = np.asarray(fp.computeFPFHFeatures(dst_pts, *fpfh_radii))
+    sd = descriptors(src_pts)
+    dd = descriptors(dst_pts)
+    jnp.sum(dd).block_until_ready()
     t_desc = time.time() - t0
 
     # --- stage 2: matcher (mutual NN + cross-check)
