@@ -618,6 +618,45 @@ def test_checkpointed_rank_escalation_self_recovers(rng, tmp_path):
     assert inert.rank_saturated
 
 
+def test_checkpointed_escalated_resume_bit_identical(rng, tmp_path):
+    """A crash AFTER the rank escalation fired must resume at the
+    escalated rank (the checkpoint stores the widened basis; the current
+    rank is implicit in its shape) and reproduce the uninterrupted
+    escalating run exactly — the docstring's claim, pinned."""
+    from teaserpp_tpu.params import EigSolverType
+    from teaserpp_tpu.certification.drs import certify_checkpointed
+
+    nb = 0.03
+    r, v1, v2, theta = _make_gnc_problem(rng, 48, nb, n_out=12)
+    starved = DRSCertifierParams(
+        noise_bound=nb,
+        eig_decomposition_solver=EigSolverType.ITERATIVE,
+        psd_projection_rank=4,  # saturates (test_iterative_rank_saturation_*)
+        max_iterations=60,
+        iterations_per_dispatch=20,
+    )
+    baseline = certify_checkpointed(r, v1, v2, theta, starved)
+    ck = str(tmp_path / "esc.npz")
+    # 3 segments exhaust the rank-4 budget; escalation fires (saving the
+    # widened state); segment 4 is the first escalated dispatch; crash.
+    interrupted = certify_checkpointed(
+        r, v1, v2, theta, starved, checkpoint_path=ck, checkpoint_every=1,
+        _stop_after_segments=4,
+    )
+    assert interrupted is None
+    with np.load(ck, allow_pickle=False) as z:
+        assert z["s5"].shape[-1] > 4  # crashed mid-ESCALATED run
+    resumed = certify_checkpointed(
+        r, v1, v2, theta, starved, checkpoint_path=ck, checkpoint_every=1
+    )
+    assert resumed.is_optimal == baseline.is_optimal
+    assert resumed.best_suboptimality == baseline.best_suboptimality
+    assert np.array_equal(
+        np.asarray(resumed.suboptimality_traj),
+        np.asarray(baseline.suboptimality_traj),
+    )
+
+
 def test_iterative_gap_gate_blocks_false_certificate(rng):
     """Regression for the unsound gap estimate: Rayleigh-Ritz OVER-estimates
     lambda_min, so before the Cholesky proof gate a full-rank ITERATIVE run
