@@ -92,7 +92,8 @@ def run_pipeline(name, src_pts, dst_pts, r_true, t_true, nb, fpfh_radii):
     t0 = time.time()
     sd = descriptors(src_pts)
     dd = descriptors(dst_pts)
-    jnp.sum(dd).block_until_ready()
+    # honest through the relay: scalar fetch, not block_until_ready
+    _ = float(np.asarray(jnp.sum(sd) + jnp.sum(dd)))
     t_desc = time.time() - t0
 
     # --- stage 2: matcher (mutual NN + cross-check)

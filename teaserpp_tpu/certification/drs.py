@@ -420,7 +420,13 @@ def _proven_lam_min_lb(sym: jnp.ndarray, est: jnp.ndarray) -> jnp.ndarray:
     c = jax.lax.cond(
         ok0, lambda s: s, bracket_then_bisect, jnp.maximum(c0, floor)
     )
-    # ok0 at c0 == 0 proves lambda_min >= 0: return exactly 0, not -floor
+    # ok0 at c0 == 0 certifies lambda_min >= 0 and returns exactly 0 (not
+    # -floor). "Certifies" is modulo floating-point backward error: a
+    # successful float Cholesky rigorously proves lambda_min >= -O(n eps
+    # ||sym||) (~1e-13 ||sym|| in f64), not >= 0 exactly — the same
+    # machine-precision slack every eigensolver-based certificate carries,
+    # including the DENSE path's eigvalsh and the reference's min_eig > 0
+    # branch. Within that slack the exact-0 convention matches them.
     return jnp.where(ok0, -c0, -c)
 
 

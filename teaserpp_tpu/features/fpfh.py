@@ -131,9 +131,10 @@ def _fpfh_core(chunk_pts, pts, spfh, radius):
 _fpfh_chunk = partial(jax.jit, static_argnames=("radius",))(_fpfh_core)
 
 
-@jax.jit
-def _spfh_pruned(q_pts, q_normals, sorted_pts, sorted_normals, cand_idx, radius):
-    """All SPFH query blocks in one device program (lax.map over blocks)."""
+def _spfh_blocks_body(q_pts, q_normals, sorted_pts, sorted_normals,
+                      cand_idx, radius):
+    """lax.map SPFH body shared by the single-device and shard_map entry
+    points (one implementation: the two paths cannot diverge)."""
 
     def one(args):
         qp, qn, ci = args
@@ -145,34 +146,27 @@ def _spfh_pruned(q_pts, q_normals, sorted_pts, sorted_normals, cand_idx, radius)
     return jax.lax.map(one, (q_pts, q_normals, cand_idx))
 
 
-@jax.jit
-def _fpfh_pruned(q_pts, sorted_pts, sorted_spfh, cand_idx, radius):
-    """All FPFH query blocks in one device program (lax.map over blocks)."""
+def _fpfh_blocks_body(q_pts, sorted_pts, sorted_spfh, cand_idx, radius):
+    """lax.map FPFH body shared by both entry points."""
+    return jax.lax.map(
+        lambda a: _fpfh_core(a[0], sorted_pts[a[1]], sorted_spfh[a[1]], radius),
+        (q_pts, cand_idx),
+    )
 
-    def one(args):
-        qp, ci = args
-        return _fpfh_core(qp, sorted_pts[ci], sorted_spfh[ci], radius)
 
-    return jax.lax.map(one, (q_pts, cand_idx))
+_spfh_pruned = jax.jit(_spfh_blocks_body)
+_fpfh_pruned = jax.jit(_fpfh_blocks_body)
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis"))
 def _spfh_pruned_sharded(q_pts, q_normals, sorted_pts, sorted_normals,
                          cand_idx, radius, mesh, axis):
-    from jax.sharding import PartitionSpec as P
-
-    def local(qp, qn, sp, sn, ci, r):
-        def one(args):
-            p, nr, c = args
-            ones = jnp.ones((p.shape[0],), sp.dtype)
-            return _spfh_core(p, nr, ones, sp[c], sn[c], r)
-
-        return jax.lax.map(one, (qp, qn, ci))
-
     # check_vma=False: purely per-shard map (no collectives); the
     # jacobi fori_loop's constant-init carry trips the VMA checker
+    from jax.sharding import PartitionSpec as P
+
     return jax.shard_map(
-        local,
+        _spfh_blocks_body,
         mesh=mesh,
         check_vma=False,
         in_specs=(P(axis), P(axis), P(), P(), P(axis), P()),
@@ -185,15 +179,10 @@ def _fpfh_pruned_sharded(q_pts, sorted_pts, sorted_spfh, cand_idx, radius,
                          mesh, axis):
     from jax.sharding import PartitionSpec as P
 
-    def local(qp, sp, sf, ci, r):
-        return jax.lax.map(
-            lambda a: _fpfh_core(a[0], sp[a[1]], sf[a[1]], r), (qp, ci)
-        )
-
     # check_vma=False: purely per-shard map (no collectives); the
     # jacobi fori_loop's constant-init carry trips the VMA checker
     return jax.shard_map(
-        local,
+        _fpfh_blocks_body,
         mesh=mesh,
         check_vma=False,
         in_specs=(P(axis), P(), P(), P(axis), P()),
@@ -222,8 +211,9 @@ def compute_fpfh_pruned(
             "beyond it would be silently dropped. Build a plan for this "
             "radius."
         )
-    dtype = jnp.asarray(pts).dtype
-    sp = sorted_padded(np.asarray(pts), plan, SENTINEL)
+    pts_np = np.asarray(pts)  # one download if device-resident; no-op if host
+    dtype = jax.dtypes.canonicalize_dtype(pts_np.dtype)
+    sp = sorted_padded(pts_np, plan, SENTINEL)
     sn = sorted_padded(np.asarray(normals), plan, 0.0)
     qb_pts = query_blocks(sp, plan)
     qb_nrm = query_blocks(sn, plan)
@@ -365,12 +355,15 @@ class FPFHEstimation:
                 plans = None  # pruning would not pay for its gathers
 
         if plans is not None:
+            # pass the HOST array: both pruned passes re-sort on host
+            # (np.asarray of a device array would round-trip the cloud
+            # through the relay for nothing)
             nres = estimate_normals_pruned(
-                pts_d, normal_search_radius, plans[0], mesh=self._mesh
+                pts, normal_search_radius, plans[0], mesh=self._mesh
             )
             self._normals = np.asarray(nres.normals)
             desc = compute_fpfh_pruned(
-                pts_d, nres.normals, fpfh_search_radius, plans[1],
+                pts, nres.normals, fpfh_search_radius, plans[1],
                 mesh=self._mesh,
             )
             return np.asarray(desc)

@@ -86,16 +86,21 @@ def _normals_chunk(chunk_pts, pts, viewpoint, radius):
     return _normals_core(chunk_pts, pts, viewpoint, radius)
 
 
+def _normals_blocks_body(q_blocks, cand_idx, sorted_pts_pad, viewpoint, radius):
+    """lax.map over query blocks, each gathering its grid-hash candidate
+    subset (features/spatial.py) — the ONE body both the single-device and
+    the shard_map entry points run (so the two paths cannot diverge)."""
+    return jax.lax.map(
+        lambda a: _normals_core(a[0], sorted_pts_pad[a[1]], viewpoint, radius),
+        (q_blocks, cand_idx),
+    )
+
+
 @jax.jit
 def _normals_pruned(q_blocks, sorted_pts_pad, cand_idx, viewpoint, radius):
-    """All query blocks in ONE device program: lax.map over blocks, each
-    gathering its grid-hash candidate subset (features/spatial.py)."""
-
-    def one(args):
-        qp, ci = args
-        return _normals_core(qp, sorted_pts_pad[ci], viewpoint, radius)
-
-    return jax.lax.map(one, (q_blocks, cand_idx))
+    """All query blocks in ONE device program."""
+    return _normals_blocks_body(q_blocks, cand_idx, sorted_pts_pad,
+                                viewpoint, radius)
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis"))
@@ -103,18 +108,13 @@ def _normals_pruned_sharded(q_blocks, sorted_pts_pad, cand_idx, viewpoint,
                             radius, mesh, axis):
     """Query blocks sharded over ``mesh[axis]``; the (small) sorted cloud
     is replicated and each device runs its local blocks — the front-end
-    analog of the solver's row-sharded O(N^2) path (SURVEY §2.5)."""
+    analog of the solver's row-sharded O(N^2) path (SURVEY §2.5).
+    check_vma=False: purely per-shard map (no collectives); the jacobi
+    fori_loop's constant-init carry trips the VMA checker."""
     from jax.sharding import PartitionSpec as P
 
-    def local(qb, ci, sp, vp, r):
-        return jax.lax.map(
-            lambda a: _normals_core(a[0], sp[a[1]], vp, r), (qb, ci)
-        )
-
-    # check_vma=False: purely per-shard map (no collectives); the
-    # jacobi fori_loop's constant-init carry trips the VMA checker
     return jax.shard_map(
-        local,
+        _normals_blocks_body,
         mesh=mesh,
         check_vma=False,
         in_specs=(P(axis), P(axis), P(), P(), P()),
@@ -142,8 +142,8 @@ def estimate_normals_pruned(pts, radius, plan, viewpoint=(0.0, 0.0, 0.0),
             "beyond it would be silently dropped. Build a plan for this "
             "radius."
         )
-    pts_np = np.asarray(pts)
-    dtype = jnp.asarray(pts).dtype
+    pts_np = np.asarray(pts)  # one download if device-resident; no-op if host
+    dtype = jax.dtypes.canonicalize_dtype(pts_np.dtype)
     sp = sorted_padded(pts_np, plan, SENTINEL)
     qb = query_blocks(sp, plan)
     vp = jnp.asarray(viewpoint, dtype)

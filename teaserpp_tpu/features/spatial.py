@@ -13,12 +13,21 @@ that maps terribly to a systolic/vector machine, so instead
 
 Exactness: a neighbor within ``radius`` of a query lies in a cell within
 ``reach`` of the query's cell, so the candidate list provably contains
-every true neighbor; the device kernels re-test the exact Euclidean
-predicate against the candidates, and padding slots point at a sentinel
-row parked far away (inert under every radius test). Because candidacy
-comes from the block's own occupied CELLS — never from a bounding box of
-the block — a block that straddles distant regions (sort-order seam) just
-gets the union of two local neighborhoods, not everything in between.
+every true (exact-arithmetic) radius neighbor; the device kernels re-test
+the Euclidean predicate against the candidates, and padding slots point
+at a sentinel row parked far away (inert under every radius test).
+Boundary caveat: coverage is proven in exact arithmetic. When the device
+predicate runs in f32, a pair whose true separation is a hair PAST the
+radius can f32-round to "inside" — the dense path would then include it
+while, at exact-integer radius/cell ratios, the candidate grid may not.
+That window is ~radius * 1e-7, inside which the dense path's own f32
+predicate is itself rounding-determined, so pruned-vs-dense can differ by
+such a boundary pair in principle; inflating ``reach`` to close it would
+cost a whole extra cell shell (~2.7x candidates) at every integer ratio,
+which is not worth a measure-zero tie. Because candidacy comes from the
+block's own occupied CELLS — never from a bounding box of the block — a
+block that straddles distant regions (sort-order seam) just gets the
+union of two local neighborhoods, not everything in between.
 
 The result: every downstream pass keeps the dense-path shape (masked
 matmul-style arithmetic over fixed (B, M) tiles, one ``lax.map`` device
