@@ -114,6 +114,55 @@ def test_solve_large_sharded_recovers_transform(rng):
     assert int(res.clique_size) >= 0.3 * 256 * 0.2
 
 
+def test_full_pipeline_sharded_end_to_end(rng):
+    """The ENTIRE pipeline multi-device on the 8-device virtual mesh:
+    grid-hash FPFH descriptors (query blocks sharded), exact-NN matcher,
+    row-sharded robust solve — the e2e composition the TPU bench runs,
+    here as a mesh integration test (each piece is also pinned
+    individually; this pins that they compose)."""
+    from teaserpp_tpu.features import FPFHEstimation, Matcher
+
+    m = 48  # 2304-point wavy surface (grid path forced; auto needs 8192)
+    xs, ys = np.meshgrid(np.linspace(-1, 1, m), np.linspace(-1, 1, m))
+    zs = 0.3 * np.sin(2.5 * xs) * np.cos(1.5 * ys) + 0.1 * np.sin(5 * xs * ys)
+    src_pts = np.stack([xs.ravel(), ys.ravel(), zs.ravel() + 3.0], axis=1)
+    src_pts = src_pts + rng.normal(scale=0.002, size=src_pts.shape)
+    angle = 0.2
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    kx = np.array(
+        [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+    )
+    r = np.eye(3) + np.sin(angle) * kx + (1 - np.cos(angle)) * (kx @ kx)
+    t = np.array([0.3, -0.2, 0.15])
+    dst_pts = src_pts @ r.T + t
+
+    feat_mesh = Mesh(np.array(jax.devices()), ("blocks",))
+    fp = FPFHEstimation(neighbor_mode="grid", mesh=feat_mesh)
+    sd = fp.computeFPFHFeatures(src_pts, 0.25, 0.4)
+    dd = fp.computeFPFHFeatures(dst_pts, 0.25, 0.4)
+    corr = Matcher().calculateCorrespondences(
+        src_pts, dst_pts, sd, dd, False, True, False, 0.0
+    )
+    assert len(corr) > 500
+    ci = np.asarray([c[0] for c in corr])
+    cj = np.asarray([c[1] for c in corr])
+
+    solve_mesh = Mesh(np.array(jax.devices()[:8]).reshape(1, 8),
+                      ("batch", "pairs"))
+    res = solve_large_sharded(
+        np.ascontiguousarray(src_pts[ci].T.astype(np.float32)),
+        np.ascontiguousarray(dst_pts[cj].T.astype(np.float32)),
+        PARAMS,
+        solve_mesh,
+        pairs_axis="pairs",
+        subgraph_size=256,
+    )
+    assert bool(res.solution.valid)
+    assert angular_error(np.asarray(res.solution.rotation), r) < 0.02
+    assert translation_error(np.asarray(res.solution.translation), t) < 0.02
+
+
 def test_graft_entry_and_multichip():
     import sys
 
