@@ -80,6 +80,46 @@ def test_exact_matches_planted(rng):
             assert adj[u, v]
 
 
+def test_exact_matches_bruteforce_oracle(rng):
+    """Fuzz the native B&B against an independent exhaustive oracle: on
+    random G(n, p) graphs small enough to enumerate every vertex subset,
+    the returned clique must BE a clique and match the true maximum size
+    (planted-clique tests only lower-bound it; this pins exact optimality
+    against an oracle that shares no code with the implementation)."""
+    import itertools
+
+    for trial in range(8):
+        n = int(rng.integers(8, 17))
+        p = float(rng.uniform(0.3, 0.75))
+        adj = (rng.random((n, n)) < p)
+        adj = np.triu(adj, 1)
+        adj = (adj | adj.T).astype(np.uint8)
+        np.fill_diagonal(adj, 0)
+
+        best = 1
+        for size in range(n, 0, -1):
+            if size <= best:
+                break
+            for sub in itertools.combinations(range(n), size):
+                if all(
+                    adj[u, v] for u, v in itertools.combinations(sub, 2)
+                ):
+                    best = size
+                    break
+            if best == size:
+                break
+
+        clique, timed_out = exact_max_clique(adj)
+        assert not timed_out
+        for i, u in enumerate(clique):
+            for v in clique[i + 1:]:
+                assert adj[u, v], f"trial {trial}: non-clique returned"
+        assert len(clique) == best, (
+            f"trial {trial} (n={n}, p={p:.2f}): got {len(clique)}, "
+            f"oracle max {best}"
+        )
+
+
 def test_exact_beats_or_equals_heuristic(rng):
     for trial in range(3):
         adj = _planted_clique_graph(rng, n=50, k=8, p=0.3)
